@@ -1,0 +1,70 @@
+"""mixedprecisionblockqr_tpu — TPU-native mixed-precision Block Householder QR.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+jaidonlybbert/MixedPrecisionBlockQR (CUDA/C++/NumPy), built TPU-first:
+
+* the whole block-QR panel loop runs on-device inside one ``jit`` (the
+  reference crosses host<->device 4+ times per panel, ``Cuda/qr.cu:1049-1226``),
+* trailing-matrix and Q-accumulation updates are MXU GEMMs with a configurable
+  dtype policy (bf16 inputs / fp32 accumulation replaces the reference's FP16
+  TensorCore path, ``Cuda/mmult.cuh:252-300``),
+* the sequential panel factorization is a fused Pallas VMEM kernel
+  (replaces the reference's host-side ``h_householder_qr``, ``Cuda/qr.cu:198``),
+* tall-skinny problems use TSQR with a binary reduction tree
+  (completes the reference's prototype ``python/ca_qr.py``), extended across a
+  ``jax.sharding.Mesh`` via ICI collectives inside ``shard_map``.
+
+Public API (stable):
+    qr, block_qr, householder_qr, tsqr, caqr
+    lstsq (QR least-squares solver)
+    DTypePolicy, POLICY_FP32, POLICY_MIXED, POLICY_BF16
+    metrics: backward_error, orthogonality_error, lower_trapezoid_error
+"""
+
+from mixedprecisionblockqr_tpu.ops.policy import (
+    DTypePolicy,
+    POLICY_FP32,
+    POLICY_MIXED,
+    POLICY_BF16,
+)
+from mixedprecisionblockqr_tpu.ops.householder import (
+    householder_reflector,
+    householder_qr,
+    q_backward_accumulation,
+)
+from mixedprecisionblockqr_tpu.ops.wy import (
+    build_t_matrix,
+    wy_representation,
+    apply_block_reflector_left_t,
+    apply_block_reflector_right,
+)
+from mixedprecisionblockqr_tpu.ops.blockqr import block_qr, qr
+from mixedprecisionblockqr_tpu.ops import metrics
+from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_sharded
+from mixedprecisionblockqr_tpu.parallel.caqr import caqr
+from mixedprecisionblockqr_tpu.models.lstsq import lstsq, back_substitution
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DTypePolicy",
+    "POLICY_FP32",
+    "POLICY_MIXED",
+    "POLICY_BF16",
+    "householder_reflector",
+    "householder_qr",
+    "q_backward_accumulation",
+    "build_t_matrix",
+    "wy_representation",
+    "apply_block_reflector_left_t",
+    "apply_block_reflector_right",
+    "block_qr",
+    "qr",
+    "metrics",
+    "tsqr",
+    "tsqr_sharded",
+    "caqr",
+    "lstsq",
+    "back_substitution",
+    "__version__",
+]

@@ -1,0 +1,96 @@
+"""QR-based linear least squares.
+
+Completes the reference's solver layer: the CUDA solver is a skeleton
+(``dev_linear_solve`` is an empty kernel, ``Cuda/QR/Solver/solver.cu:34-37``;
+``dev_QR_Solver`` allocates but computes nothing, ``solver.cu:39-87``); the
+Python version is complete (``linear_least_sqare.py:5-22``): QR factor, apply
+Q^T (the reference uses ``pinv(Q)`` — mathematically Q^T for orthonormal Q),
+then back-substitution (GVL Alg 5.3.2, cited at ``solver.cu:43-45``).
+
+TPU-first: the QR driver threads b through the panel updates so Q is never
+materialized (``block_qr_qtb``); back-substitution is a blocked,
+static-shaped triangular solve that keeps the heavy lifting in (r x r) MXU
+GEMMs instead of the reference's scalar Python loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mixedprecisionblockqr_tpu.ops.blockqr import block_qr_qtb, DEFAULT_BLOCK_SIZE
+from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32
+from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("lower", "block_size"))
+def back_substitution(
+    R: jax.Array, b: jax.Array, lower: bool = False, block_size: int = 64
+) -> jax.Array:
+    """Blocked triangular solve R x = b (upper by default).
+
+    Behavior of the reference's scalar loop (``linear_least_sqare.py:17-21``):
+      x_i = (b_i - sum_{k>i} R_ik x_k) / R_ii
+    re-blocked so each diagonal block is solved by a small unrolled masked
+    sweep and off-diagonal eliminations are GEMMs.
+    """
+    n = R.shape[0]
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    R = R.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if lower:
+        # Solve lower-triangular by flipping to the upper case.
+        x = back_substitution(R[::-1, ::-1], b[::-1], lower=False,
+                              block_size=block_size)
+        return x[::-1, 0] if squeeze else x[::-1]
+
+    r = min(block_size, n)
+    nb = -(-n // r)
+    x = jnp.zeros_like(b)
+    for bi in reversed(range(nb)):
+        lo = bi * r
+        hi = min(lo + r, n)
+        w = hi - lo
+        Rbb = R[lo:hi, lo:hi]
+        rhs = b[lo:hi, :]
+        if hi < n:
+            rhs = rhs - jnp.matmul(R[lo:hi, hi:], x[hi:, :], precision=_HI)
+        # In-block backward sweep (w static and small).
+        xb = jnp.zeros_like(rhs)
+        for i in reversed(range(w)):
+            s = rhs[i, :] - jnp.matmul(Rbb[i, i + 1 :], xb[i + 1 :, :],
+                                       precision=_HI)
+            xb = xb.at[i, :].set(s / Rbb[i, i])
+        x = x.at[lo:hi, :].set(xb)
+    return x[:, 0] if squeeze else x
+
+
+def lstsq(
+    A,
+    b,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    policy: DTypePolicy = POLICY_FP32,
+    method: str = "blocked",
+):
+    """Minimize ||A x - b||_2 via QR (the reference's
+    ``linear_least_square``, ``python/linear_least_sqare.py:5-22``).
+
+    method='blocked': block QR with b threaded through (no explicit Q).
+    method='tsqr': TSQR path for very tall A (m >> n).
+    """
+    A = jnp.asarray(A, dtype=jnp.float32)
+    b = jnp.asarray(b, dtype=jnp.float32)
+    m, n = A.shape
+    if method == "tsqr":
+        Q, R = tsqr(A)
+        qtb = jnp.matmul(Q.T, b, precision=_HI)
+        return back_substitution(R, qtb)
+    R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy)
+    return back_substitution(R, qtb[:n] if qtb.ndim == 1 else qtb[:n, :])

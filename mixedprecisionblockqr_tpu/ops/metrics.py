@@ -1,0 +1,114 @@
+"""QR quality metrics with the reference's precision-dependent acceptance bounds.
+
+Mirrors the three error norms and the ``2^-bits * m`` criterion of
+``Cuda/qr.cu:115-196``:
+  * backward error   ||A - QR||_F / ||A||_F           (``h_backward_error``)
+  * orthogonality    max |Q^T Q - I|                  (``h_q_error``; we take
+    the absolute value — the reference tracks only the max *positive*
+    deviation, a latent bug we do not reproduce)
+  * lower-trapezoid  ||tril(R, -1)||_F                (``h_lower_trapezoid_error``)
+
+Precision bits: 23 (fp32), 11 (the reference's fp16 TensorCore path,
+``Cuda/qr.cu:1889``), 8 (our bf16 mixed path — bf16 has an 8-bit mantissa).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def error_limit(precision_bits: int, m: int) -> float:
+    """Acceptance threshold ``2^-bits * m`` (``Cuda/qr.cu:120-127``)."""
+    return (2.0 ** (-precision_bits)) * m
+
+
+@jax.jit
+def backward_error(A: jax.Array, Q: jax.Array, R: jax.Array) -> jax.Array:
+    """||A - QR||_F / ||A||_F  (``h_backward_error``, ``Cuda/qr.cu:115-135``;
+    NumPy spec ``get_error``, ``python/utils.py:4-5``)."""
+    A = A.astype(jnp.float32)
+    QR = jnp.matmul(
+        Q.astype(jnp.float32), R.astype(jnp.float32), precision=_HI
+    )
+    return jnp.linalg.norm(A - QR) / jnp.linalg.norm(A)
+
+
+@jax.jit
+def orthogonality_error(Q: jax.Array) -> jax.Array:
+    """max |Q^T Q - I| (``h_q_error``, ``Cuda/qr.cu:137-171``)."""
+    Q = Q.astype(jnp.float32)
+    QtQ = jnp.matmul(Q.T, Q, precision=_HI)
+    I = jnp.eye(Q.shape[1], dtype=jnp.float32)
+    return jnp.max(jnp.abs(QtQ - I))
+
+
+@jax.jit
+def lower_trapezoid_error(R: jax.Array) -> jax.Array:
+    """||tril(R, -1)||_F (``h_lower_trapezoid_error``, ``Cuda/qr.cu:173-196``)."""
+    return jnp.linalg.norm(jnp.tril(R.astype(jnp.float32), -1))
+
+
+def strip_r(A: jax.Array) -> jax.Array:
+    """Upper-triangular part of A (``h_strip_R_from_A``, ``Cuda/qr.cu:85-100``)."""
+    return jnp.triu(A)
+
+
+@dataclasses.dataclass
+class QRReport:
+    """One factorization's quality report, with pass/fail per criterion."""
+
+    m: int
+    n: int
+    precision_bits: int
+    backward: float
+    orthogonality: float
+    lower_trapezoid: float
+
+    @property
+    def limit(self) -> float:
+        return error_limit(self.precision_bits, self.m)
+
+    @property
+    def backward_ok(self) -> bool:
+        return bool(self.backward <= self.limit)
+
+    @property
+    def orthogonality_ok(self) -> bool:
+        return bool(self.orthogonality <= self.limit)
+
+    @property
+    def lower_trapezoid_ok(self) -> bool:
+        return bool(self.lower_trapezoid <= self.limit)
+
+    @property
+    def all_ok(self) -> bool:
+        return self.backward_ok and self.orthogonality_ok and self.lower_trapezoid_ok
+
+    def __str__(self) -> str:  # printf parity with Cuda/qr.cu:130,160,191
+        return (
+            f"||A - QR||/||A|| = {self.backward:e} Error Criteria: {self.backward_ok}\n"
+            f"||QT @ Q - Im|| = {self.orthogonality:E} Error Criteria: {self.orthogonality_ok}\n"
+            f"||L|| = {self.lower_trapezoid:e} Error Criteria: {self.lower_trapezoid_ok}"
+        )
+
+
+def evaluate(
+    A, Q, R, precision_bits: int = 23, R_has_full_rows: Optional[bool] = None
+) -> QRReport:
+    """Compute all three metrics for a factorization A ~= Q R."""
+    A = jnp.asarray(A)
+    m, n = A.shape
+    return QRReport(
+        m=m,
+        n=n,
+        precision_bits=precision_bits,
+        backward=float(backward_error(A, Q, R)),
+        orthogonality=float(orthogonality_error(Q)),
+        lower_trapezoid=float(lower_trapezoid_error(R)),
+    )

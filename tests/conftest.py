@@ -1,0 +1,37 @@
+"""Test configuration: run everything on a host-simulated 8-device CPU mesh.
+
+Distributed tests (TSQR/CAQR/dist-QR sharding) need multiple devices; the CI
+box has at most one TPU chip, so all tests force the CPU platform with 8
+virtual devices — the reference's CPU oracles play the same role for its CUDA
+kernels (SURVEY §4).  Benchmarks (bench.py) run on the real chip instead.
+
+This must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # fp64 oracle paths
+
+# Persistent compilation cache: the suite compiles many static-shaped QR
+# programs; cache them across runs (first run pays, reruns are fast).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

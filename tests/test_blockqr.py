@@ -1,0 +1,120 @@
+"""Blocked WY QR (fp32 and mixed-precision) — integration tests with the
+reference's metric-threshold criteria (SURVEY §4.2): backward error,
+orthogonality, and lower-trapezoid norm each bounded by 2^-bits * m
+(23 bits fp32 — ``Cuda/qr.cu:1367``; 8 bits for the bf16 mixed path, the
+recalibration of the reference's 11-bit fp16 bound ``Cuda/qr.cu:1889``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixedprecisionblockqr_tpu.ops import metrics
+from mixedprecisionblockqr_tpu.ops.blockqr import (
+    block_qr,
+    block_qr_qtb,
+    block_recursive_qr,
+    qr,
+)
+from mixedprecisionblockqr_tpu.ops.policy import POLICY_BF16, POLICY_FP32, POLICY_MIXED
+
+# Subset of the reference's static size table (Cuda/qr.cu:1762-1787),
+# including the non-tile-multiple shapes (97x90, 129x80).
+SIZES = [
+    (6, 4, 2),
+    (12, 8, 4),
+    (24, 16, 8),
+    (60, 40, 16),
+    (97, 90, 16),
+    (129, 80, 16),
+    (240, 160, 32),
+]
+
+
+def _rand(m, n, seed=0):
+    return np.random.default_rng(seed).random((m, n)).astype(np.float32)
+
+
+@pytest.mark.parametrize("m,n,r", SIZES)
+def test_block_qr_fp32_criteria(m, n, r):
+    A = _rand(m, n, seed=m + n)
+    Q, R = block_qr(A, block_size=r, policy=POLICY_FP32, mode="complete")
+    rep = metrics.evaluate(A, Q, R, precision_bits=23)
+    assert rep.all_ok, f"{m}x{n} r={r}: {rep}"
+
+
+def test_block_qr_matches_unblocked():
+    A = _rand(96, 64, seed=7)
+    Qb, Rb = block_qr(A, block_size=16)
+    # Residual-level agreement (sign conventions may differ per column).
+    err = float(metrics.backward_error(jnp.asarray(A), Qb, Rb))
+    assert err < 1e-6
+    Rn = np.linalg.qr(A)[1]
+    np.testing.assert_allclose(
+        np.abs(np.diag(np.asarray(Rb))), np.abs(np.diag(Rn)), rtol=1e-4
+    )
+
+
+def test_block_qr_mixed_precision_criteria():
+    m, n = 256, 192
+    A = _rand(m, n, seed=1)
+    Q, R = block_qr(A, block_size=64, policy=POLICY_MIXED, mode="complete")
+    rep = metrics.evaluate(A, Q, R, precision_bits=POLICY_MIXED.precision_bits)
+    assert rep.all_ok, f"mixed: {rep}"
+    # Mixed must be strictly worse than fp32 but within its own bound.
+    Qf, Rf = block_qr(A, block_size=64, policy=POLICY_FP32, mode="complete")
+    repf = metrics.evaluate(A, Qf, Rf, precision_bits=23)
+    assert repf.backward < rep.backward
+
+
+def test_bf16_no_nan_on_ill_conditioned():
+    """The reference's fp16 study NaNs at cond >= 1e6
+    (python/performance_test_result/error.md:15-16); bf16 keeps fp32's
+    exponent range so the same matrices must stay finite."""
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    A = conditioned_matrix(64, 1e6, seed=0).astype(np.float32)
+    Q, R = block_qr(A, block_size=16, policy=POLICY_BF16, mode="complete")
+    assert np.isfinite(np.asarray(Q)).all()
+    assert np.isfinite(np.asarray(R)).all()
+    rep = metrics.evaluate(A, Q, R, precision_bits=POLICY_BF16.precision_bits)
+    assert rep.backward_ok, f"bf16 cond=1e6: {rep}"
+
+
+def test_block_qr_qtb_threads_rhs():
+    m, n = 80, 48
+    A = _rand(m, n, seed=3)
+    b = np.random.default_rng(4).random((m,)).astype(np.float32)
+    R, qtb = block_qr_qtb(A, b, block_size=16)
+    Q, Rq = block_qr(A, block_size=16, mode="complete")
+    np.testing.assert_allclose(np.asarray(R), np.asarray(Rq)[:n], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(qtb), np.asarray(Q).T @ b, atol=1e-3
+    )
+
+
+def test_block_recursive_qr():
+    A = _rand(100, 64, seed=5)
+    Q, R = block_recursive_qr(A, min_block=16)
+    assert Q.shape == (100, 64) and R.shape == (64, 64)
+    err = float(metrics.backward_error(jnp.asarray(A), Q, R))
+    assert err < 1e-6
+    assert float(metrics.orthogonality_error(Q)) < 1e-5
+
+
+def test_qr_dispatcher():
+    A = _rand(40, 6, seed=6)
+    Q, R = qr(A)
+    assert Q.shape == (40, 6)
+    assert float(metrics.backward_error(jnp.asarray(A), Q, R)) < 1e-6
+    with pytest.raises(ValueError):
+        qr(_rand(4, 8))
+
+
+def test_block_qr_r_only_mode():
+    A = _rand(64, 32, seed=8)
+    R = block_qr(A, block_size=16, mode="r")
+    Rn = np.linalg.qr(A)[1]
+    np.testing.assert_allclose(
+        np.abs(np.diag(np.asarray(R))), np.abs(np.diag(Rn)), rtol=1e-4
+    )
