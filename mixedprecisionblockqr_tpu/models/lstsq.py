@@ -28,8 +28,21 @@ from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr
 _HI = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("lower", "block_size"))
 def back_substitution(
+    R: jax.Array, b: jax.Array, lower: bool = False, block_size: int = 64
+) -> jax.Array:
+    """Public wrapper: gathers mesh-sharded inputs (the solve is tiny and
+    replicated) then runs the jitted blocked sweep."""
+    from mixedprecisionblockqr_tpu.ops.metrics import _replicate
+
+    return _back_substitution(
+        _replicate(jnp.asarray(R)), _replicate(jnp.asarray(b)),
+        lower=lower, block_size=block_size,
+    )
+
+
+@partial(jax.jit, static_argnames=("lower", "block_size"))
+def _back_substitution(
     R: jax.Array, b: jax.Array, lower: bool = False, block_size: int = 64
 ) -> jax.Array:
     """Blocked triangular solve R x = b (upper by default).
@@ -47,8 +60,8 @@ def back_substitution(
     b = b.astype(jnp.float32)
     if lower:
         # Solve lower-triangular by flipping to the upper case.
-        x = back_substitution(R[::-1, ::-1], b[::-1], lower=False,
-                              block_size=block_size)
+        x = _back_substitution(R[::-1, ::-1], b[::-1], lower=False,
+                               block_size=block_size)
         return x[::-1, 0] if squeeze else x[::-1]
 
     r = min(block_size, n)

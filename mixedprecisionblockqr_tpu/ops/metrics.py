@@ -23,15 +23,35 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _replicate(x):
+    """Gather a mesh-sharded array to replicated form.
+
+    Metrics contract over the sharded (row) axis, which is ambiguous under
+    sharding-in-types; metrics run at report time, so a gather is fine.
+    """
+    sharding = getattr(x, "sharding", None)
+    if sharding is not None and getattr(sharding, "spec", None) is not None:
+        if any(s is not None for s in sharding.spec):
+            mesh = sharding.mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
+    return x
+
+
 def error_limit(precision_bits: int, m: int) -> float:
     """Acceptance threshold ``2^-bits * m`` (``Cuda/qr.cu:120-127``)."""
     return (2.0 ** (-precision_bits)) * m
 
 
-@jax.jit
 def backward_error(A: jax.Array, Q: jax.Array, R: jax.Array) -> jax.Array:
     """||A - QR||_F / ||A||_F  (``h_backward_error``, ``Cuda/qr.cu:115-135``;
     NumPy spec ``get_error``, ``python/utils.py:4-5``)."""
+    return _backward_error(_replicate(A), _replicate(Q), _replicate(R))
+
+
+@jax.jit
+def _backward_error(A, Q, R):
     A = A.astype(jnp.float32)
     QR = jnp.matmul(
         Q.astype(jnp.float32), R.astype(jnp.float32), precision=_HI
@@ -39,18 +59,26 @@ def backward_error(A: jax.Array, Q: jax.Array, R: jax.Array) -> jax.Array:
     return jnp.linalg.norm(A - QR) / jnp.linalg.norm(A)
 
 
-@jax.jit
 def orthogonality_error(Q: jax.Array) -> jax.Array:
     """max |Q^T Q - I| (``h_q_error``, ``Cuda/qr.cu:137-171``)."""
+    return _orthogonality_error(_replicate(Q))
+
+
+@jax.jit
+def _orthogonality_error(Q):
     Q = Q.astype(jnp.float32)
     QtQ = jnp.matmul(Q.T, Q, precision=_HI)
     I = jnp.eye(Q.shape[1], dtype=jnp.float32)
     return jnp.max(jnp.abs(QtQ - I))
 
 
-@jax.jit
 def lower_trapezoid_error(R: jax.Array) -> jax.Array:
     """||tril(R, -1)||_F (``h_lower_trapezoid_error``, ``Cuda/qr.cu:173-196``)."""
+    return _lower_trapezoid_error(_replicate(R))
+
+
+@jax.jit
+def _lower_trapezoid_error(R):
     return jnp.linalg.norm(jnp.tril(R.astype(jnp.float32), -1))
 
 

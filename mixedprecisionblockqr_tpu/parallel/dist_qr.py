@@ -1,0 +1,286 @@
+"""Distributed blocked QR over a row-sharded device mesh.
+
+The reference has no multi-device execution at all (single GPU, ``cudaMemcpy``
+only — SURVEY §2.5); this module is the scale-out the north star asks for:
+blocked Householder QR of matrices sharded over an ICI mesh axis, e.g.
+16384 x 16384 over 8 chips.
+
+Design (TPU-first, communication-avoiding):
+
+  * A is row-sharded: ``P('rows', None)``.  Each panel is factored by TSQR —
+    local panel QR per device (``panel_factor``), one ``all_gather`` of the
+    tiny (r x r) leaf R factors, and a replicated reduction tree
+    (``parallel.tsqr.reduction_tree``).
+  * The panel's *implicit full Q* is reconstructed as a single block
+    reflector ``H = I - Y S^-1 Y^T`` from the reduced TSQR Q via the
+    basis-kernel (Yamamoto) identity: with ``E1`` the first-r-columns
+    identity, ``Y = Q_red - E1`` and ``S = I - Q1^T`` (Q1 = top r x r block
+    of Q_red, sign-fixed so diag(Q1) <= 0 keeps S well-conditioned),
+    ``H E1 = Q_red`` and ``H`` is exactly orthogonal.  This turns the
+    trailing-matrix update into
+
+        C <- H^T C = C - Y (S^-T (psum_i Y_i^T C_i))
+
+    ONE ``psum`` of an (r x n_trail) block per panel — instead of a
+    reflector-by-reflector tree walk.  Y is zero on rows above the panel, so
+    finished R rows are never touched.
+  * Q accumulation keeps Q *column*-sharded (``P(None, 'rows')``), so
+    ``Q <- Q H = Q - (psum_i Q_i Y_i) S^-1 Y^T`` is also one ``psum``.
+
+Constraint: block_size must divide the per-device row count so each panel's
+diagonal block lives on a single device.
+
+References for behavior parity: the panel loop structure mirrors
+``dev_mixed_precision_block_qr`` (``Cuda/qr.cu:1049-1226``) with the host
+round trips replaced by collectives; the TSQR panel is the completed form of
+``python/ca_qr.py``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mixedprecisionblockqr_tpu.ops.householder import panel_factor
+from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32, matmul
+from mixedprecisionblockqr_tpu.ops.wy import reduced_q_from_vt
+from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
+from mixedprecisionblockqr_tpu.parallel.tsqr import reduction_tree
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _panel_reflector(
+    A_loc: jax.Array,
+    lam: int,
+    w: int,
+    h: int,
+    axis: str,
+):
+    """Factor panel columns [lam, lam+w) across devices.
+
+    Returns (Y_loc (h x w), Sinv (w x w, replicated), R_panel (w x w,
+    replicated, sign-fixed)).
+    """
+    d = jax.lax.axis_size(axis)
+    my = jax.lax.axis_index(axis)
+    glob = my * h + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
+    active = glob >= lam
+
+    P_loc = jnp.where(active[:, None], A_loc[:, lam : lam + w], 0.0)
+    V, T, Rf = panel_factor(P_loc)
+    Q_leaf = reduced_q_from_vt(V, T, w)            # (h, w); zero on inactive rows
+    R_loc = jnp.triu(Rf[:w, :])
+
+    R_all = jax.lax.all_gather(R_loc, axis)        # (d, w, w) replicated
+    F, R_pan = reduction_tree(R_all)               # (d, w, w), (w, w)
+    myF = jax.lax.dynamic_index_in_dim(F, my, 0, keepdims=False)
+    Q_red_loc = jnp.matmul(Q_leaf, myF, precision=_HI)  # (h, w)
+
+    # Top (w x w) block of the global reduced Q lives on device i0.
+    i0, loc = lam // h, lam % h
+    cand = Q_red_loc[loc : loc + w, :]
+    Q1 = jax.lax.psum(jnp.where(my == i0, cand, jnp.zeros_like(cand)), axis)
+
+    # Column sign-fix: make diag(Q1) <= 0 so S = I - Q1^T is well-conditioned.
+    Dsign = jnp.where(jnp.diag(Q1) > 0, -1.0, 1.0).astype(Q1.dtype)
+    Q_red_loc = Q_red_loc * Dsign[None, :]
+    Q1 = Q1 * Dsign[None, :]
+    R_pan = R_pan * Dsign[:, None]                 # keep Q_red @ R_pan invariant
+
+    # Y = Q_red - E1 (E1 rows live on device i0 only).
+    e1_rows = (glob[:, None] - lam) == jax.lax.broadcasted_iota(
+        jnp.int32, (h, w), 1
+    )
+    Y_loc = Q_red_loc - e1_rows.astype(Q_red_loc.dtype)
+    S = jnp.eye(w, dtype=Q1.dtype) - Q1.T
+    Sinv = jnp.linalg.inv(S)
+    return Y_loc, Sinv, R_pan
+
+
+def _dist_qr_local(
+    A_loc: jax.Array,
+    Q_loc: Optional[jax.Array],
+    B_loc: Optional[jax.Array],
+    *,
+    m: int,
+    n: int,
+    block_size: int,
+    axis: str,
+    policy: DTypePolicy,
+):
+    """SPMD body (inside shard_map): the full panel loop on local shards."""
+    h = A_loc.shape[0]
+    r = min(block_size, n)
+    if h % r != 0 and n > r:
+        raise ValueError(
+            f"block_size {r} must divide per-device rows {h} (m={m})"
+        )
+    glob = (
+        jax.lax.axis_index(axis) * h
+        + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
+    )
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+    mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
+                               accum_dtype=policy.accum)
+
+    for lam in range(0, n, r):
+        w = min(r, n - lam)
+        Y, Sinv, R_pan = _panel_reflector(A_loc, lam, w, h, axis)
+
+        # Write the panel result: rows in [lam, lam+w) <- R_pan; rows below
+        # panel <- 0; rows above unchanged.
+        idx = jnp.clip(glob - lam, 0, w - 1)
+        rvals = R_pan[idx, :]                       # (h, w) gather of R rows
+        in_band = (glob >= lam) & (glob < lam + w)
+        pan_new = jnp.where(
+            in_band[:, None],
+            rvals,
+            jnp.where((glob >= lam + w)[:, None], 0.0, A_loc[:, lam : lam + w]),
+        )
+        A_loc = A_loc.at[:, lam : lam + w].set(pan_new.astype(A_loc.dtype))
+
+        # Trailing update: C <- C - Y S^-T (psum Y^T C).
+        if lam + w < n:
+            C = A_loc[:, lam + w :]
+            G = jax.lax.psum(mm_t(Y.T, C), axis)    # (w, ntrail)
+            M = jnp.matmul(Sinv.T, G, precision=_HI)
+            C = C - mm_t(Y, M)
+            A_loc = A_loc.at[:, lam + w :].set(C.astype(A_loc.dtype))
+
+        if B_loc is not None:
+            Gb = jax.lax.psum(mm_t(Y.T, B_loc), axis)
+            B_loc = B_loc - mm_t(Y, jnp.matmul(Sinv.T, Gb, precision=_HI))
+
+        # Q accumulation (Q column-sharded): Q <- Q - (psum Q_i Y_i) S^-1 Y^T.
+        if Q_loc is not None:
+            QY = jax.lax.psum(mm_q(Q_loc.T, Y), axis)  # (m, w)? see note
+            # Q_loc is (h, m) = rows of Q^T? -- we store Q^T row-sharded so
+            # both operands shard the contraction axis; QY = psum(Q_i Y_i).
+            M = jnp.matmul(QY, Sinv, precision=_HI)     # (m, w)
+            Q_loc = Q_loc - mm_q(Y, M.T)                # (h, m)
+
+    return A_loc, Q_loc, B_loc
+
+
+@lru_cache(maxsize=None)
+def _jitted_dist_qr(
+    m: int,
+    n: int,
+    d: int,
+    block_size: int,
+    policy: DTypePolicy,
+    want_q: bool,
+    with_b: bool,
+    axis: str,
+    mesh_key,
+):
+    mesh = _MESHES[mesh_key]
+
+    def fn(A, Q0, B):
+        A_out, Q_out, B_out = _dist_qr_local(
+            A,
+            Q0 if want_q else None,
+            B if with_b else None,
+            m=m,
+            n=n,
+            block_size=block_size,
+            axis=axis,
+            policy=policy,
+        )
+        outs = [A_out]
+        outs.append(Q_out if want_q else jnp.zeros((1, 1), A_out.dtype))
+        outs.append(B_out if with_b else jnp.zeros((1, 1), A_out.dtype))
+        return tuple(outs)
+
+    in_specs = (P(axis, None), P(axis, None), P(axis, None))
+    out_specs = (
+        P(axis, None),
+        P(axis, None) if want_q else P(None, None),
+        P(axis, None) if with_b else P(None, None),
+    )
+    sm = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+    return jax.jit(sm)
+
+
+# shard_map needs the concrete Mesh; lru_cache needs hashables -> registry.
+_MESHES = {}
+
+
+def _mesh_key(mesh: Mesh):
+    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
+    _MESHES[key] = mesh
+    return key
+
+
+def dist_block_qr(
+    A,
+    mesh: Mesh,
+    block_size: int = 128,
+    policy: DTypePolicy = POLICY_FP32,
+    axis: str = ROWS_AXIS,
+    mode: str = "reduced",
+    b=None,
+):
+    """Distributed blocked QR of a row-sharded A over ``mesh[axis]``.
+
+    Returns (Q, R) — Q row-sharded (m x m, transposed storage internally),
+    R replicated (n x n) — or (R, Q^T b) when ``b`` is given and mode='r'.
+
+    mode: 'reduced' | 'complete' | 'r' (R only, no Q accumulation).
+    """
+    A = jnp.asarray(A, dtype=policy.panel)
+    m, n = A.shape
+    d = mesh.shape[axis]
+    if m % d:
+        raise ValueError(f"rows {m} must divide across {d} devices")
+    want_q = mode in ("reduced", "complete")
+    with_b = b is not None
+
+    sharding = NamedSharding(mesh, P(axis, None))
+    A = jax.device_put(A, sharding)
+    # Q is stored transposed (Q^T, row-sharded) so the contraction in the
+    # Q-update shards cleanly; transpose back at the end.
+    Q0 = jax.device_put(jnp.eye(m, dtype=policy.accum), sharding)
+    B = (
+        jax.device_put(
+            jnp.asarray(b, policy.accum).reshape(m, -1), sharding
+        )
+        if with_b
+        else jax.device_put(jnp.zeros((m, 1), policy.accum), sharding)
+    )
+
+    fn = _jitted_dist_qr(
+        m, n, d, block_size, policy, want_q, with_b, axis, _mesh_key(mesh)
+    )
+    A_out, Qt, B_out = fn(A, Q0, B)
+    if with_b:
+        # Q^T b is consumed by the replicated triangular solve — gather it.
+        B_out = jax.device_put(B_out, NamedSharding(mesh, P()))
+    if mode == "complete":
+        R = jnp.triu(A_out)
+    else:
+        # Gather the top n rows to replicated form (slicing a row-sharded
+        # array across shard boundaries is ambiguous under eager
+        # sharding-in-types; a jit with explicit out_shardings reshards).
+        rep = NamedSharding(mesh, P())
+        R = jax.jit(
+            lambda x: jnp.triu(x[:n, :]), out_shardings=rep
+        )(A_out)
+    if mode == "r":
+        if with_b:
+            return R, B_out
+        return R
+    Q = Qt.T  # stored transposed
+    if mode == "reduced":
+        Q = Q[:, :n]
+    if with_b:
+        return Q, R, B_out
+    return Q, R

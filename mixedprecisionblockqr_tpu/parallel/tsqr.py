@@ -165,5 +165,9 @@ def tsqr_sharded(
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=(P(axis, None), P()),
+        # fori_loop carries inside panel_factor start replicated and become
+        # device-varying; skip the static varying-axes check (the tree result
+        # is deterministic-replicated by construction).
+        check_vma=False,
     )
-    return fn(A)
+    return jax.jit(fn)(A)

@@ -27,7 +27,10 @@ def time_fn(
     iters: int = 5,
     **kwargs,
 ) -> Tuple[float, object]:
-    """Median wall-clock seconds per call (post-warmup) and the last result."""
+    """Median wall-clock seconds per call (post-warmup) and the last result.
+
+    Per-call timing includes dispatch/transfer latency; on a tunneled
+    backend prefer :func:`time_step_amortized`."""
     result = None
     for _ in range(max(warmup, 1)):
         result = _block(fn(*args, **kwargs))
@@ -38,6 +41,45 @@ def time_fn(
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], result
+
+
+def time_step_amortized(
+    step_fn: Callable,
+    x0,
+    iters: int = 16,
+    repeats: int = 3,
+) -> float:
+    """Device-compute seconds per application of ``step_fn`` (x -> x, same
+    shape/dtype), measured as a difference of chained in-jit loops.
+
+    Motivation: on a tunneled/remote PJRT backend ``block_until_ready``
+    returns before execution finishes and every host fetch pays tens of ms
+    of relay latency, so per-call wall timing measures the tunnel, not the
+    MXU.  Here the step is iterated inside one jit via ``fori_loop`` with a
+    runtime trip count (one compile), a single scalar is fetched, and the
+    per-step time is (t[1+iters] - t[1]) / iters — fixed overhead cancels.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x, n):
+        def body(i, x):
+            return step_fn(x)
+
+        y = jax.lax.fori_loop(0, n, body, x)
+        first = jnp.ravel(y)[0] if not isinstance(y, (tuple, list)) else jnp.ravel(y[0])[0]
+        return first.astype(jnp.float32)
+
+    float(loop(x0, 1))  # compile + warm
+    t_base, t_long = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(loop(x0, 1))
+        t_base.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(loop(x0, 1 + iters))
+        t_long.append(time.perf_counter() - t0)
+    return max(min(t_long) - min(t_base), 1e-9) / iters
 
 
 @contextlib.contextmanager

@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers a TPU backend and may
+# override JAX_PLATFORMS; the config update below always wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # fp64 oracle paths
 
 # Persistent compilation cache: the suite compiles many static-shaped QR
