@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2, yamamoto_reflector
 from mixedprecisionblockqr_tpu.ops.householder import (
     householder_qr,
     panel_factor,
@@ -35,6 +36,7 @@ from mixedprecisionblockqr_tpu.ops.householder import (
 from mixedprecisionblockqr_tpu.ops.policy import (
     DTypePolicy,
     POLICY_FP32,
+    matmul,
 )
 from mixedprecisionblockqr_tpu.ops.wy import (
     apply_block_reflector_left_t,
@@ -52,6 +54,7 @@ def _block_qr_traced(
     policy: DTypePolicy,
     want_q: bool,
     B: Optional[jax.Array],
+    panel_method: str = "householder",
 ):
     """Trace-time body: unrolled panel loop with static slices.
 
@@ -59,41 +62,85 @@ def _block_qr_traced(
     None, QtB or None).  ``B`` rides along through every left-update so the
     least-squares path never materializes Q (the reference's solver applies
     pinv(Q) explicitly instead, ``python/linear_least_sqare.py:10``).
+
+    panel_method:
+      * 'householder' — GVL reflector loop (robust; exact reference
+        semantics); applications use the compact-WY (V, T) factors.
+      * 'cholqr2' / 'cholqr2s' — (shifted) CholeskyQR2 panel: all-GEMM,
+        rides the MXU; applications use the Yamamoto block reflector
+        (Y, Sinv).  ~5x faster end-to-end on TPU, conditional on panel
+        conditioning (see ops/cholqr.py).
     """
     m, n = A.shape
     r = min(block_size, n)
     A = A.astype(policy.panel)
     Q = jnp.eye(m, dtype=policy.accum) if want_q else None
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+    mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
+                               accum_dtype=policy.accum)
 
     for lam in range(0, n, r):
         w = min(r, n - lam)
         panel = A[lam:, lam : lam + w]
-        V, T, Rp = panel_factor(panel)
-        A = A.at[lam:, lam : lam + w].set(Rp)
+
+        if panel_method == "householder":
+            V, T, Rp = panel_factor(panel)
+            A = A.at[lam:, lam : lam + w].set(Rp)
+
+            def left(X):
+                return apply_block_reflector_left_t(X, V, T, policy)
+
+            def right(X):
+                return apply_block_reflector_right(X, V, T, policy)
+
+        elif panel_method in ("cholqr2", "cholqr2s"):
+            Q_red, Rp = cholesky_qr2(panel, shifted=panel_method == "cholqr2s")
+            Y, Sinv, Rp = yamamoto_reflector(Q_red, Rp)
+            pad = jnp.zeros((m - lam - w, w), A.dtype)
+            A = A.at[lam:, lam : lam + w].set(
+                jnp.concatenate([Rp.astype(A.dtype), pad], axis=0)
+            )
+
+            def left(X):
+                # H^T X = X - Y Sinv^T (Y^T X)
+                G = mm_t(Y.T, X)
+                return X - mm_t(Y, jnp.matmul(Sinv.T, G, precision=_HI))
+
+            def right(X):
+                # X H = X - ((X Y) Sinv) Y^T
+                XY = mm_q(X, Y)
+                return X - mm_q(jnp.matmul(XY, Sinv, precision=_HI), Y.T)
+
+        else:
+            raise ValueError(f"unknown panel_method {panel_method!r}")
 
         if lam + w < n:
             C = A[lam:, lam + w :]
-            C = apply_block_reflector_left_t(C, V, T, policy)
-            A = A.at[lam:, lam + w :].set(C.astype(A.dtype))
+            A = A.at[lam:, lam + w :].set(left(C).astype(A.dtype))
 
         if B is not None:
             Bl = B[lam:, :]
-            Bl = apply_block_reflector_left_t(Bl, V, T, policy)
-            B = B.at[lam:, :].set(Bl.astype(B.dtype))
+            B = B.at[lam:, :].set(left(Bl).astype(B.dtype))
 
         if want_q:
             Qc = Q[:, lam:]
-            Qc = apply_block_reflector_right(Qc, V, T, policy)
-            Q = Q.at[:, lam:].set(Qc)
+            Q = Q.at[:, lam:].set(right(Qc))
 
     R_full = jnp.triu(A.astype(policy.accum))
     return R_full, Q, B
 
 
 @lru_cache(maxsize=None)
-def _jitted_driver(block_size: int, policy: DTypePolicy, want_q: bool, with_b: bool):
+def _jitted_driver(
+    block_size: int,
+    policy: DTypePolicy,
+    want_q: bool,
+    with_b: bool,
+    panel_method: str = "householder",
+):
     def fn(A, B=None):
-        return _block_qr_traced(A, block_size, policy, want_q, B)
+        return _block_qr_traced(A, block_size, policy, want_q, B, panel_method)
 
     if with_b:
         return jax.jit(lambda A, B: fn(A, B))
@@ -105,6 +152,7 @@ def block_qr(
     block_size: int = DEFAULT_BLOCK_SIZE,
     policy: DTypePolicy = POLICY_FP32,
     mode: str = "reduced",
+    panel_method: str = "householder",
 ):
     """Blocked WY Householder QR: A = QR.
 
@@ -117,6 +165,8 @@ def block_qr(
             bf16 GEMMs in place of FP16 TensorCores.
         mode: 'reduced' -> (Q[:, :n], R[:n]); 'complete' -> (Q, R); 'r' ->
             R only (skips all Q-accumulation GEMMs).
+        panel_method: 'householder' (robust, reference semantics) or
+            'cholqr2'/'cholqr2s' (all-MXU fast path; see ops/cholqr.py).
     """
     A = jnp.asarray(A)
     if A.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
@@ -125,7 +175,7 @@ def block_qr(
     if m < n:
         raise ValueError(f"block_qr requires m >= n, got {A.shape}")
     want_q = mode in ("reduced", "complete")
-    R_full, Q, _ = _jitted_driver(block_size, policy, want_q, False)(A)
+    R_full, Q, _ = _jitted_driver(block_size, policy, want_q, False, panel_method)(A)
     if mode == "r":
         return R_full[:n, :]
     if mode == "reduced":
@@ -140,6 +190,7 @@ def block_qr_qtb(
     B,
     block_size: int = DEFAULT_BLOCK_SIZE,
     policy: DTypePolicy = POLICY_FP32,
+    panel_method: str = "householder",
 ) -> Tuple[jax.Array, jax.Array]:
     """Factor A and return (R (n x n), Q^T B) without materializing Q.
 
@@ -152,7 +203,7 @@ def block_qr_qtb(
     if squeeze:
         B = B[:, None]
     m, n = A.shape
-    R_full, _, QtB = _jitted_driver(block_size, policy, False, True)(
+    R_full, _, QtB = _jitted_driver(block_size, policy, False, True, panel_method)(
         A, B.astype(policy.panel)
     )
     QtB = QtB.astype(policy.accum)
