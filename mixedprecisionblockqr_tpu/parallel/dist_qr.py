@@ -278,9 +278,15 @@ def dist_block_qr(
         if with_b:
             return R, B_out
         return R
-    Q = Qt.T  # stored transposed
     if mode == "reduced":
-        Q = Q[:, :n]
+        # Top-n rows of the transposed store, re-transposed: Q (m x n),
+        # column-sharded.  jit + out_shardings handles the cross-shard slice.
+        Q = jax.jit(
+            lambda q: q[:n, :].T,
+            out_shardings=NamedSharding(mesh, P(None, axis)),
+        )(Qt)
+    else:
+        Q = Qt.T  # stored transposed; column-sharded view
     if with_b:
         return Q, R, B_out
     return Q, R

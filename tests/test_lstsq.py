@@ -1,0 +1,111 @@
+"""Least-squares solver vs np.linalg.lstsq (the reference's oracle,
+``python/linear_least_sqare.py:60-63``) plus the regression-style fixtures
+and ill-conditioning study from that file.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixedprecisionblockqr_tpu.models.lstsq import back_substitution, lstsq
+from mixedprecisionblockqr_tpu.models.slam import gauss_newton_step
+from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+
+def _fixture_cases():
+    # Mirrors the reference's regression datasets
+    # (linear_least_sqare.py:27-45): rows are samples, last row is y.
+    rng = np.random.default_rng(0)
+    return [
+        np.array([[1, 2, 3, 4], [6, 5, 7, 10]], float),
+        np.array(
+            [[1, 2, 3], [4, 5, 6], [7, 8, 7], [4, 2, 3], [4, 2, 2],
+             [10, 20, 30]], float,
+        ),
+        rng.random((100, 100)),
+        conditioned_matrix(100, 1e5, seed=1),
+    ]
+
+
+def test_lstsq_matches_numpy_fixtures():
+    for dataset in _fixture_cases():
+        y = dataset[-1]
+        x = dataset[:-1].T
+        A = np.c_[np.ones(x.shape[0]), x].astype(np.float32)
+        if A.shape[0] < A.shape[1]:
+            # Underdetermined system: the reference's own check on this
+            # fixture is vacuous (``assert np.allclose(X, X)``,
+            # linear_least_sqare.py:63); we require m >= n.
+            continue
+        got = np.asarray(lstsq(A, y.astype(np.float32), block_size=16))
+        want, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid_got = np.linalg.norm(A @ got - y)
+        resid_want = np.linalg.norm(A @ want - y)
+        assert resid_got <= resid_want * (1 + 1e-3) + 1e-3
+
+
+def test_lstsq_tall():
+    rng = np.random.default_rng(2)
+    A = rng.random((400, 60)).astype(np.float32)
+    xtrue = rng.random(60).astype(np.float32)
+    b = A @ xtrue
+    x = np.asarray(lstsq(A, b))
+    np.testing.assert_allclose(x, xtrue, atol=5e-3)
+
+
+def test_lstsq_tsqr_method():
+    rng = np.random.default_rng(3)
+    A = rng.random((2048, 24)).astype(np.float32)
+    b = rng.random(2048).astype(np.float32)
+    x = np.asarray(lstsq(A, b, method="tsqr"))
+    want, *_ = np.linalg.lstsq(A, b, rcond=None)
+    np.testing.assert_allclose(x, want, atol=1e-3)
+
+
+def test_back_substitution_upper_and_lower():
+    rng = np.random.default_rng(4)
+    n = 100
+    R = np.triu(rng.random((n, n))).astype(np.float32) + 3 * np.eye(n, dtype=np.float32)
+    b = rng.random(n).astype(np.float32)
+    x = np.asarray(back_substitution(R, b, block_size=16))
+    np.testing.assert_allclose(R @ x, b, atol=1e-3)
+    L = R.T.copy()
+    xl = np.asarray(back_substitution(L, b, lower=True, block_size=16))
+    np.testing.assert_allclose(L @ xl, b, atol=1e-3)
+
+
+def test_back_substitution_matrix_rhs():
+    rng = np.random.default_rng(5)
+    n = 32
+    R = np.triu(rng.random((n, n))).astype(np.float32) + 2 * np.eye(n, dtype=np.float32)
+    B = rng.random((n, 3)).astype(np.float32)
+    X = np.asarray(back_substitution(R, B, block_size=8))
+    np.testing.assert_allclose(R @ X, B, atol=1e-4)
+
+
+def test_gauss_newton_step_descends():
+    rng = np.random.default_rng(6)
+    J = rng.random((200, 40)).astype(np.float32)
+    r0 = rng.random(200).astype(np.float32)
+    dx = np.asarray(gauss_newton_step(J, r0, policy=POLICY_MIXED))
+    assert np.linalg.norm(r0 + J @ dx) < np.linalg.norm(r0)
+    # Damped variant stays finite and shorter.
+    dx_damped = np.asarray(gauss_newton_step(J, r0, damping=10.0))
+    assert np.isfinite(dx_damped).all()
+    assert np.linalg.norm(dx_damped) < np.linalg.norm(dx) * 1.01
+
+
+def test_ill_conditioned_sensitivity():
+    """The reference's ill-conditioning experiment
+    (linear_least_sqare.py:47-58): perturbing a near-singular system
+    produces solution changes ~ cond * delta."""
+    A = np.array([[1.0, 0.999], [0.999, 1.0]], np.float32)
+    y = np.array([1.0, 0.0], np.float32)
+    x0 = np.asarray(lstsq(A, y, block_size=2))
+    A2 = A.copy()
+    A2[0, 1] += 1e-4
+    A2[1, 0] += 1e-4
+    x1 = np.asarray(lstsq(A2, y, block_size=2))
+    # amplification well above the perturbation scale
+    assert np.linalg.norm(x0 - x1) > 10 * 1e-4

@@ -1,0 +1,84 @@
+"""TSQR / reduction tree vs NumPy oracle.
+
+Completes the reference's prototype tests (``python/ca_qr.py:86-101``):
+the prototype asserts exact Q/R match with np.linalg.qr on a fixed 24x3
+case; we test residual/orthogonality across shapes, leaf counts, batching,
+and the mesh-sharded path on the virtual 8-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixedprecisionblockqr_tpu.ops import metrics
+from mixedprecisionblockqr_tpu.parallel.mesh import make_mesh, shard_rows
+from mixedprecisionblockqr_tpu.parallel.tsqr import (
+    reduction_tree,
+    tsqr,
+    tsqr_batched,
+    tsqr_sharded,
+)
+
+
+def _check(A, Q, R, tol=1e-5):
+    assert float(metrics.backward_error(jnp.asarray(A), Q, R)) < tol
+    assert float(metrics.orthogonality_error(Q)) < tol
+    assert float(metrics.lower_trapezoid_error(R)) == 0.0
+
+
+@pytest.mark.parametrize("m,n,L", [(96, 3, 4), (256, 16, 4), (1024, 32, 8), (999, 8, 4)])
+def test_tsqr_shapes(m, n, L):
+    A = np.random.default_rng(m).random((m, n)).astype(np.float32)
+    Q, R = tsqr(A, n_leaves=L)
+    assert Q.shape == (m, n) and R.shape == (n, n)
+    _check(A, Q, R)
+
+
+def test_tsqr_matches_numpy_r():
+    A = np.random.default_rng(1).random((512, 12)).astype(np.float32)
+    _, R = tsqr(A, n_leaves=4)
+    Rn = np.linalg.qr(A)[1]
+    np.testing.assert_allclose(
+        np.abs(np.asarray(R)), np.abs(Rn), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_reduction_tree_factors():
+    rng = np.random.default_rng(2)
+    n, L = 8, 8
+    Rs = jnp.asarray(
+        np.stack([np.triu(rng.random((n, n))) + np.eye(n) for _ in range(L)]),
+        jnp.float32,
+    )
+    F, R = reduction_tree(Rs)
+    stack = np.asarray(Rs).reshape(L * n, n)
+    Fstack = np.asarray(F).reshape(L * n, n)
+    np.testing.assert_allclose(Fstack @ np.asarray(R), stack, atol=1e-4)
+    np.testing.assert_allclose(Fstack.T @ Fstack, np.eye(n), atol=1e-4)
+
+
+def test_tsqr_batched():
+    A = np.random.default_rng(3).random((4, 256, 8)).astype(np.float32)
+    Qs, Rs = tsqr_batched(jnp.asarray(A), n_leaves=4)
+    assert Qs.shape == (4, 256, 8)
+    for i in range(4):
+        _check(A[i], Qs[i], Rs[i])
+
+
+def test_tsqr_sharded_8dev():
+    mesh = make_mesh()
+    A = np.random.default_rng(4).random((1024, 16)).astype(np.float32)
+    Ash = shard_rows(jnp.asarray(A), mesh)
+    Q, R = tsqr_sharded(Ash, mesh)
+    # Q keeps the input's row sharding; R is replicated.
+    assert "rows" in str(Q.sharding.spec)
+    _check(A, Q, R)
+
+
+def test_tsqr_sharded_local_leaves():
+    mesh = make_mesh()
+    A = np.random.default_rng(5).random((2048, 8)).astype(np.float32)
+    Ash = shard_rows(jnp.asarray(A), mesh)
+    Q, R = tsqr_sharded(Ash, mesh, local_leaves=4)
+    _check(A, Q, R)
