@@ -1,0 +1,260 @@
+"""Command-line interface.
+
+The reference has no runtime configuration at all — tile sizes are compile
+-time ``#define``s, the dataset path is baked by CMake into ``qr_config.h``,
+and test selection means editing ``main()`` (``Cuda/main.cu:13-14``).  This
+CLI is the runtime replacement: dtype policy, block size, panel method,
+dataset paths and benchmark sweeps are flags.
+
+    python -m mixedprecisionblockqr_tpu qr --m 1024 --n 1024 --policy mixed
+    python -m mixedprecisionblockqr_tpu suite            # Cuda/main.cu parity
+    python -m mixedprecisionblockqr_tpu bench --sizes 256,512,1024
+    python -m mixedprecisionblockqr_tpu solve --m 2000 --n 1000
+    python -m mixedprecisionblockqr_tpu dataset --out data/jacobians
+    python -m mixedprecisionblockqr_tpu plot log/*.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _load_matrix(args) -> np.ndarray:
+    if getattr(args, "file", None):
+        from mixedprecisionblockqr_tpu.utils.euroc import read_euroc_jacobian
+
+        _, _, a = read_euroc_jacobian(args.file)
+        return a
+    if getattr(args, "cond", None):
+        from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+        return conditioned_matrix(args.n, args.cond, seed=args.seed).astype(
+            np.float32
+        )
+    rng = np.random.default_rng(args.seed)
+    return (rng.random((args.m, args.n), dtype=np.float32) - 0.5)
+
+
+def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
+    if with_matrix:
+        p.add_argument("--m", type=int, default=1024)
+        p.add_argument("--n", type=int, default=1024)
+        p.add_argument("--file", help="Euroc Jacobian text file")
+        p.add_argument("--cond", type=float, help="target condition number")
+        p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--policy", default="mixed", choices=["fp32", "mixed", "bf16"])
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument(
+        "--panel-method",
+        default="householder",
+        choices=["householder", "cholqr2", "cholqr2s"],
+    )
+    p.add_argument("--log-dir", default="log")
+
+
+def cmd_qr(args) -> int:
+    import jax.numpy as jnp
+
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
+    from mixedprecisionblockqr_tpu.ops.policy import policy_by_name
+    from mixedprecisionblockqr_tpu.utils.flops import qr_flops
+    from mixedprecisionblockqr_tpu.utils.logging import ResultsLogger
+
+    a = _load_matrix(args)
+    policy = policy_by_name(args.policy)
+    t0 = time.perf_counter()
+    Q, R = block_qr(
+        a, block_size=args.block_size, policy=policy, mode="complete",
+        panel_method=args.panel_method,
+    )
+    rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
+    dt = time.perf_counter() - t0  # includes compile; see `bench` for rates
+    print(rep)
+    name = f"tpu_block_{args.policy}"
+    ResultsLogger(args.log_dir).write_csv(
+        name, a.shape[0], a.shape[1], dt, qr_flops(*a.shape), rep.backward
+    )
+    return 0 if rep.all_ok else 1
+
+
+def cmd_bench(args) -> int:
+    import jax.numpy as jnp
+
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_traced, block_qr
+    from mixedprecisionblockqr_tpu.ops.policy import policy_by_name
+    from mixedprecisionblockqr_tpu.utils.flops import qr_flops
+    from mixedprecisionblockqr_tpu.utils.logging import ResultsLogger
+    from mixedprecisionblockqr_tpu.utils.timing import time_step_amortized
+
+    policy = policy_by_name(args.policy)
+    sizes = [int(s) for s in args.sizes.split(",")]
+    logger = ResultsLogger(args.log_dir)
+    for s in sizes:
+        rng = np.random.default_rng(0)
+        a = rng.random((s, s), dtype=np.float32) - 0.5
+        A = jnp.asarray(a)
+        Q, R = block_qr(
+            A, block_size=min(args.block_size, s), policy=policy,
+            mode="complete", panel_method=args.panel_method,
+        )
+        rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
+
+        def step(x, s=s):
+            R_full, Qc, _ = _block_qr_traced(
+                x, min(args.block_size, s), policy, True, None,
+                args.panel_method,
+            )
+            return x * (1.0 + 1e-12 * R_full[0, 0])
+
+        sec = time_step_amortized(step, A, iters=args.iters)
+        tflops = qr_flops(s, s) / sec / 1e12
+        logger.write_csv(
+            f"tpu_block_{args.policy}", s, s, sec, qr_flops(s, s), rep.backward
+        )
+        print(
+            json.dumps(
+                {
+                    "m": s, "n": s, "seconds": round(sec, 6),
+                    "tflops": round(tflops, 3),
+                    "backward_error": rep.backward,
+                    "criteria_ok": rep.all_ok,
+                }
+            )
+        )
+    return 0
+
+
+def cmd_suite(args) -> int:
+    """The reference's full test/benchmark entry (``Cuda/main.cu:11-26``):
+    static random size table + Jacobian dataset, each through the CPU-spec,
+    fp32-blocked, and mixed-precision drivers, CSV-logged."""
+    import jax.numpy as jnp
+
+    from mixedprecisionblockqr_tpu.models.slam import enumerate_jacobians
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr, qr
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_FP32, POLICY_MIXED
+    from mixedprecisionblockqr_tpu.utils.datagen import STATIC_QR_SIZES
+    from mixedprecisionblockqr_tpu.utils.flops import qr_flops
+    from mixedprecisionblockqr_tpu.utils.logging import ResultsLogger
+
+    logger = ResultsLogger(args.log_dir)
+    failures = 0
+
+    def run_case(name, a, r, policy, bits):
+        nonlocal failures
+        t0 = time.perf_counter()
+        Q, R = block_qr(a, block_size=r, policy=policy, mode="complete")
+        rep = metrics.evaluate(a, Q, R, precision_bits=bits)
+        dt = time.perf_counter() - t0
+        logger.write_csv(name, a.shape[0], a.shape[1], dt,
+                         qr_flops(*a.shape), rep.backward)
+        status = "ok" if rep.all_ok else "FAIL"
+        print(f"{name} {a.shape[0]}x{a.shape[1]} r={r}: "
+              f"err={rep.backward:.3e} [{status}]")
+        failures += 0 if rep.all_ok else 1
+
+    rng = np.random.default_rng(0)
+    table = STATIC_QR_SIZES if not args.quick else STATIC_QR_SIZES[:8]
+    for m, n, r in table:
+        a = rng.random((m, n), dtype=np.float32)
+        run_case("tpu_block_fp32", a, r, POLICY_FP32, 23)
+        run_case("tpu_block_mixed", a, r, POLICY_MIXED, 8)
+
+    for case in enumerate_jacobians(args.data_dir)[: args.max_jacobians]:
+        a = case.load()
+        if a.shape[0] < a.shape[1]:
+            continue
+        run_case("tpu_jacobian_mixed", a, 128, POLICY_MIXED, 8)
+
+    print(f"suite complete, {failures} failures")
+    return 1 if failures else 0
+
+
+def cmd_solve(args) -> int:
+    from mixedprecisionblockqr_tpu.models.lstsq import lstsq
+    from mixedprecisionblockqr_tpu.ops.policy import policy_by_name
+
+    a = _load_matrix(args)
+    rng = np.random.default_rng(args.seed + 1)
+    xtrue = rng.random(a.shape[1]).astype(np.float32)
+    b = a @ xtrue
+    x = np.asarray(
+        lstsq(a, b, block_size=args.block_size, policy=policy_by_name(args.policy))
+    )
+    resid = float(np.linalg.norm(a @ x - b) / np.linalg.norm(b))
+    err = float(np.max(np.abs(x - xtrue)))
+    print(json.dumps({"m": a.shape[0], "n": a.shape[1],
+                      "rel_residual": resid, "max_x_error": err}))
+    return 0 if resid < 1e-2 else 1
+
+
+def cmd_dataset(args) -> int:
+    from mixedprecisionblockqr_tpu.utils.euroc import synthesize_dataset
+
+    sizes = [tuple(map(int, s.split("x"))) for s in args.sizes.split(",")]
+    paths = synthesize_dataset(args.out, sizes=sizes)
+    print(f"wrote {len(paths)} files to {args.out}")
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from mixedprecisionblockqr_tpu.utils.plotting import plot_logs
+
+    written = plot_logs(args.logs, out_dir=args.out)
+    print("\n".join(written))
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="mixedprecisionblockqr_tpu",
+        description="TPU-native mixed-precision block QR",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("qr", help="factor one matrix, report error metrics")
+    _common_flags(p)
+    p.set_defaults(fn=cmd_qr)
+
+    p = sub.add_parser("bench", help="amortized TFLOP/s sweep")
+    _common_flags(p, with_matrix=False)
+    p.add_argument("--sizes", default="256,512,1024,2048")
+    p.add_argument("--iters", type=int, default=8)
+    p.set_defaults(fn=cmd_bench, panel_method="cholqr2")
+
+    p = sub.add_parser("suite", help="full test/bench suite (main.cu parity)")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--max-jacobians", type=int, default=8)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--log-dir", default="log")
+    p.set_defaults(fn=cmd_suite)
+
+    p = sub.add_parser("solve", help="QR least-squares solve")
+    _common_flags(p)
+    p.set_defaults(fn=cmd_solve, policy="fp32")
+
+    p = sub.add_parser("dataset", help="synthesize Euroc-format Jacobians")
+    p.add_argument("--out", default="data/jacobians")
+    p.add_argument("--sizes", default="256x128,512x256,1024x512,2000x1000")
+    p.set_defaults(fn=cmd_dataset)
+
+    p = sub.add_parser("plot", help="plot CSV logs")
+    p.add_argument("logs", nargs="+")
+    p.add_argument("--out", default="log/plots")
+    p.set_defaults(fn=cmd_plot)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

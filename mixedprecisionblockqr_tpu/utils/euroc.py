@@ -53,7 +53,10 @@ def read_euroc_jacobian(path: str) -> Tuple[int, int, np.ndarray]:
         raise FileNotFoundError(path)
     native = _load_native()
     if native is not None:
-        return native.parse_file(path)
+        try:
+            return native.parse_file(path)
+        except Exception:
+            pass  # fall back to the NumPy parser
     with open(path) as f:
         first = f.readline().split()
         rows, cols = int(first[0]), int(first[1])
