@@ -29,8 +29,8 @@ from mixedprecisionblockqr_tpu.utils.timing import (
 )
 
 M = N = 2048
-BLOCK = 256
-PANEL_METHOD = "cholqr2"  # all-MXU panel; ops/cholqr.py
+BLOCK = 128
+PANEL_METHOD = "cholqr1"  # all-MXU panel + Newton-Schulz reflector inverse
 
 
 def main() -> int:

@@ -206,6 +206,17 @@ def cmd_dataset(args) -> int:
     return 0
 
 
+def cmd_precision_study(args) -> int:
+    from mixedprecisionblockqr_tpu.models.precision_study import write_study
+
+    sizes = tuple(int(x) for x in args.sizes.split(","))
+    conds = tuple(float(x) for x in args.conds.split(","))
+    paths = write_study(args.out, sizes=sizes, condition_numbers=conds,
+                        block_size=args.block_size)
+    print("\n".join(paths))
+    return 0
+
+
 def cmd_plot(args) -> int:
     from mixedprecisionblockqr_tpu.utils.plotting import plot_logs
 
@@ -246,6 +257,15 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--out", default="data/jacobians")
     p.add_argument("--sizes", default="256x128,512x256,1024x512,2000x1000")
     p.set_defaults(fn=cmd_dataset)
+
+    p = sub.add_parser("precision-study",
+                       help="dtype x cond error/duration tables "
+                            "(performance_test_result parity)")
+    p.add_argument("--sizes", default="128,256,500")
+    p.add_argument("--conds", default="1e3,1e4,1e5,1e6,1e7")
+    p.add_argument("--block-size", type=int, default=64)
+    p.add_argument("--out", default="log/precision_study")
+    p.set_defaults(fn=cmd_precision_study)
 
     p = sub.add_parser("plot", help="plot CSV logs")
     p.add_argument("logs", nargs="+")

@@ -94,9 +94,19 @@ def _block_qr_traced(
             def right(X):
                 return apply_block_reflector_right(X, V, T, policy)
 
-        elif panel_method in ("cholqr2", "cholqr2s"):
-            Q_red, Rp = cholesky_qr2(panel, shifted=panel_method == "cholqr2s")
-            Y, Sinv, Rp = yamamoto_reflector(Q_red, Rp)
+        elif panel_method in ("cholqr1", "cholqr2", "cholqr2s"):
+            # cholqr1: single orthogonalization pass + Newton-Schulz S
+            # inverse — all small ops become GEMMs; panel orthogonality
+            # ~cond^2*eps_f32, below bf16 noise (mixed-policy fast path).
+            Q_red, Rp = cholesky_qr2(
+                panel,
+                shifted=panel_method == "cholqr2s",
+                passes=1 if panel_method == "cholqr1" else 2,
+            )
+            Y, Sinv, Rp = yamamoto_reflector(
+                Q_red, Rp,
+                inv_method="newton" if panel_method == "cholqr1" else "lu",
+            )
             pad = jnp.zeros((m - lam - w, w), A.dtype)
             A = A.at[lam:, lam : lam + w].set(
                 jnp.concatenate([Rp.astype(A.dtype), pad], axis=0)

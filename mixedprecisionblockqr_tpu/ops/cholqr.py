@@ -35,29 +35,56 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _chol_r(G: jax.Array, shift=None) -> jax.Array:
-    """Upper-triangular R with R^T R = G (+ shift * I); shift may be traced."""
+def _use_pallas_chol(r: int) -> bool:
+    # The fused Pallas chol+inverse kernel (ops/pallas/chol.py) matches
+    # XLA's cholesky+solve_triangular latency in isolation but measured
+    # slower *in context* (an opaque pallas_call blocks XLA's scheduling /
+    # fusion around it), so it is opt-in pending further tuning.
+    import os
+
+    if os.environ.get("MPBQR_PALLAS_CHOL", "0") != "1":
+        return False
+    import jax.extend.backend as jxb
+
+    try:
+        platform = jxb.get_backend().platform
+    except Exception:
+        platform = "cpu"
+    return r % 32 == 0 and platform not in ("cpu",)
+
+
+def _chol_and_inv(G: jax.Array, shift=None):
+    """(R, R^-1) with R^T R = G (+ shift * I); shift may be traced.
+
+    On TPU with r % 32 == 0 uses the fused Pallas kernel
+    (``ops/pallas/chol.py``) — XLA's cholesky + solve_triangular cost
+    ~180us of loop overhead per call at r=256, which multiplied across
+    panels dominated the whole factorization.
+    """
     r = G.shape[0]
     if shift is not None:
         G = G + shift * jnp.eye(r, dtype=G.dtype)
+    if _use_pallas_chol(r):
+        from mixedprecisionblockqr_tpu.ops.pallas.chol import chol_rinv
+
+        return chol_rinv(G)
     L = jnp.linalg.cholesky(G)
-    return L.T
-
-
-def _apply_rinv(P: jax.Array, R: jax.Array) -> jax.Array:
-    """Q = P R^-1 via explicit triangular inverse + GEMM (MXU-friendly:
-    the (r x r) inverse is tiny; the (m x r)(r x r) product is the work)."""
-    r = R.shape[0]
+    R = L.T
     Rinv = jax.scipy.linalg.solve_triangular(
         R, jnp.eye(r, dtype=R.dtype), lower=False
     )
-    return jnp.matmul(P, Rinv, precision=_HI)
+    return R, Rinv
 
 
 def cholesky_qr2(
-    P: jax.Array, shifted: bool = False
+    P: jax.Array, shifted: bool = False, passes: int = 2
 ) -> Tuple[jax.Array, jax.Array]:
-    """Reduced QR of a tall panel P (m x r) by (shifted) CholeskyQR2.
+    """Reduced QR of a tall panel P (m x r) by (shifted) CholeskyQR.
+
+    ``passes=2`` (CholeskyQR2) reaches fp32-machine orthogonality;
+    ``passes=1`` gives orthogonality ~ cond(P)^2 * eps_f32 — below bf16
+    noise for well-conditioned panels, so the mixed-precision blocked
+    driver can use it to halve the small-op count per panel.
 
     Returns (Q (m x r) with orthonormal columns, R (r x r) upper).
     """
@@ -69,24 +96,39 @@ def cholesky_qr2(
         # trace as a cheap upper bound for ||G||_2.
         eps = jnp.finfo(P.dtype).eps
         shift = 11.0 * (m * r + r * (r + 1)) * eps * jnp.trace(G)
-    R1 = _chol_r(G, shift)
-    Q1 = _apply_rinv(P, R1)
-    # Second pass restores orthogonality (and absorbs the shift's bias).
-    G2 = jnp.matmul(Q1.T, Q1, precision=_HI)
-    R2 = _chol_r(G2)
-    Q2 = _apply_rinv(Q1, R2)
-    R = jnp.matmul(R2, R1, precision=_HI)
-    if shifted:
-        # One more cheap pass (CholeskyQR3) for the shifted variant.
-        G3 = jnp.matmul(Q2.T, Q2, precision=_HI)
-        R3 = _chol_r(G3)
-        Q2 = _apply_rinv(Q2, R3)
-        R = jnp.matmul(R3, R, precision=_HI)
-    return Q2, R
+    R1, R1inv = _chol_and_inv(G, shift)
+    Q = jnp.matmul(P, R1inv, precision=_HI)
+    R = R1
+    # Extra orthogonalization passes (the "2" of CholeskyQR2; +1 absorbs
+    # the shifted variant's bias — CholeskyQR3).
+    for _ in range((1 if shifted else 0) + max(passes - 1, 0)):
+        G2 = jnp.matmul(Q.T, Q, precision=_HI)
+        R2, R2inv = _chol_and_inv(G2)
+        Q = jnp.matmul(Q, R2inv, precision=_HI)
+        R = jnp.matmul(R2, R, precision=_HI)
+    return Q, R
+
+
+def newton_inv(S: jax.Array, iters: int = 6) -> jax.Array:
+    """Inverse of a well-conditioned matrix by Newton-Schulz — pure GEMMs
+    (MXU) instead of XLA's LU path.
+
+    The Yamamoto S = I - Q1^T with diag(Q1) <= 0 has singular values in
+    [1, 2], so X0 = 0.5 I gives ||I - X0 S|| <= 1/2 and quadratic
+    convergence; 6 iterations reach fp32 roundoff.
+    """
+    r = S.shape[0]
+    I = jnp.eye(r, dtype=S.dtype)
+    X = 0.5 * I
+    for _ in range(iters):
+        X = jnp.matmul(
+            X, 2.0 * I - jnp.matmul(S, X, precision=_HI), precision=_HI
+        )
+    return X
 
 
 def yamamoto_reflector(
-    Q_red: jax.Array, R: jax.Array
+    Q_red: jax.Array, R: jax.Array, inv_method: str = "lu"
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Build the block reflector (Y, Sinv) with ``H = I - Y Sinv Y^T``
     orthogonal and ``H[:, :r] = Q_red`` (basis-kernel / Yamamoto identity),
@@ -106,5 +148,5 @@ def yamamoto_reflector(
     cols = jax.lax.broadcasted_iota(jnp.int32, (m, r), 1)
     Y = Qs - (rows == cols).astype(Qs.dtype)
     S = jnp.eye(r, dtype=Qs.dtype) - Qs[:r, :].T
-    Sinv = jnp.linalg.inv(S)
+    Sinv = newton_inv(S) if inv_method == "newton" else jnp.linalg.inv(S)
     return Y, Sinv, R

@@ -57,3 +57,23 @@ def test_block_qr_cholqr_mixed():
                     panel_method="cholqr2")
     rep = metrics.evaluate(A, Q, R, precision_bits=8)
     assert rep.all_ok, str(rep)
+
+
+def test_block_qr_cholqr1_mixed():
+    A = np.random.default_rng(5).random((256, 192)).astype(np.float32) - 0.5
+    Q, R = block_qr(A, block_size=64, policy=POLICY_MIXED, mode="complete",
+                    panel_method="cholqr1")
+    rep = metrics.evaluate(A, Q, R, precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
+def test_newton_inv_matches_lu():
+    from mixedprecisionblockqr_tpu.ops.cholqr import newton_inv
+
+    P = np.random.default_rng(6).random((64, 16)).astype(np.float32)
+    Q, R = cholesky_qr2(jnp.asarray(P))
+    _, Sinv_lu, _ = yamamoto_reflector(Q, R, inv_method="lu")
+    _, Sinv_nw, _ = yamamoto_reflector(Q, R, inv_method="newton")
+    np.testing.assert_allclose(
+        np.asarray(Sinv_nw), np.asarray(Sinv_lu), atol=1e-4
+    )
