@@ -38,9 +38,17 @@ from mixedprecisionblockqr_tpu.ops.wy import (
     apply_block_reflector_left_t,
     apply_block_reflector_right,
 )
-from mixedprecisionblockqr_tpu.ops.blockqr import block_qr, qr
+from mixedprecisionblockqr_tpu.ops.blockqr import (
+    block_qr,
+    block_qr_batched,
+    block_qr_qtb,
+    block_recursive_qr,
+    qr,
+)
+from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 from mixedprecisionblockqr_tpu.ops import metrics
-from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_sharded
+from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_batched, tsqr_sharded
+from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
 from mixedprecisionblockqr_tpu.parallel.caqr import caqr
 from mixedprecisionblockqr_tpu.models.lstsq import lstsq, back_substitution
 
@@ -59,7 +67,13 @@ __all__ = [
     "apply_block_reflector_left_t",
     "apply_block_reflector_right",
     "block_qr",
+    "block_qr_batched",
+    "block_qr_qtb",
+    "block_recursive_qr",
+    "cholesky_qr2",
+    "dist_block_qr",
     "qr",
+    "tsqr_batched",
     "metrics",
     "tsqr",
     "tsqr_sharded",

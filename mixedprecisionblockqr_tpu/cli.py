@@ -206,6 +206,36 @@ def cmd_dataset(args) -> int:
     return 0
 
 
+def cmd_tsqr_bench(args) -> int:
+    import jax.numpy as jnp
+
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.parallel.tsqr import _tsqr_impl, tsqr
+    from mixedprecisionblockqr_tpu.utils.flops import tsqr_flops
+    from mixedprecisionblockqr_tpu.utils.timing import time_step_amortized
+
+    m, n = args.m, args.n
+    A = jnp.asarray(
+        np.random.default_rng(0).random((m, n), dtype=np.float32)
+    )
+    Q, R = tsqr(A, n_leaves=args.leaves, method=args.method)
+    rep_b = float(metrics.backward_error(A, Q, R))
+    rep_o = float(metrics.orthogonality_error(Q))
+
+    def step(x):
+        Q, R = _tsqr_impl(x, args.leaves, args.method)
+        return x * (1.0 + 1e-12 * R[0, 0])
+
+    sec = time_step_amortized(step, A, iters=args.iters)
+    print(json.dumps({
+        "m": m, "n": n, "leaves": args.leaves, "method": args.method,
+        "seconds": round(sec, 6),
+        "tflops_2mn2": round(tsqr_flops(m, n) / sec / 1e12, 3),
+        "backward_error": rep_b, "orthogonality_error": rep_o,
+    }))
+    return 0
+
+
 def cmd_precision_study(args) -> int:
     from mixedprecisionblockqr_tpu.models.precision_study import write_study
 
@@ -257,6 +287,15 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--out", default="data/jacobians")
     p.add_argument("--sizes", default="256x128,512x256,1024x512,2000x1000")
     p.set_defaults(fn=cmd_dataset)
+
+    p = sub.add_parser("tsqr-bench", help="tall-skinny QR benchmark")
+    p.add_argument("--m", type=int, default=100000)
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--leaves", type=int, default=8)
+    p.add_argument("--method", default="cholqr2",
+                   choices=["householder", "cholqr2"])
+    p.add_argument("--iters", type=int, default=16)
+    p.set_defaults(fn=cmd_tsqr_bench)
 
     p = sub.add_parser("precision-study",
                        help="dtype x cond error/duration tables "

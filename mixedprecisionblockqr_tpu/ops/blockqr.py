@@ -258,6 +258,29 @@ def block_recursive_qr(A, mode: str = "reduced", min_block: int = 64):
     return run(A)
 
 
+def block_qr_batched(
+    A_batch,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    policy: DTypePolicy = POLICY_FP32,
+    mode: str = "reduced",
+    panel_method: str = "householder",
+):
+    """Batched blocked QR over a leading batch axis (vmap; the data-parallel
+    analog — shard the batch axis over a mesh for multi-chip DP)."""
+    A_batch = jnp.asarray(A_batch)
+    if A_batch.ndim != 3:
+        raise ValueError(f"expected (batch, m, n), got {A_batch.shape}")
+    want_q = mode in ("reduced", "complete")
+    fn = _jitted_driver(block_size, policy, want_q, False, panel_method)
+    R_full, Q, _ = jax.vmap(fn)(A_batch)
+    n = A_batch.shape[2]
+    if mode == "r":
+        return R_full[:, :n, :]
+    if mode == "reduced":
+        return Q[:, :, :n], R_full[:, :n, :]
+    return Q, R_full
+
+
 def qr(
     A,
     block_size: int = DEFAULT_BLOCK_SIZE,

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 from mixedprecisionblockqr_tpu.ops.householder import panel_factor
 from mixedprecisionblockqr_tpu.ops.wy import reduced_q_from_vt
 from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
@@ -36,14 +37,25 @@ from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _leaf_qr(block: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Reduced QR of one (h x n) leaf: returns (Q (h x n), R (n x n))."""
+def _leaf_qr(
+    block: jax.Array, method: str = "householder"
+) -> Tuple[jax.Array, jax.Array]:
+    """Reduced QR of one (h x n) leaf: returns (Q (h x n), R (n x n)).
+
+    method='cholqr2' is the all-GEMM fast path (see ops/cholqr.py) — for
+    tall-skinny leaves it is both faster and much cheaper to compile than
+    the sequential reflector loop; 'householder' is the robust default.
+    """
     h, n = block.shape
+    if method == "cholqr2":
+        return cholesky_qr2(block)
     V, T, Rf = panel_factor(block)
     return reduced_q_from_vt(V, T, n), jnp.triu(Rf[:n, :])
 
 
-def reduction_tree(Rs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def reduction_tree(
+    Rs: jax.Array, method: str = "householder"
+) -> Tuple[jax.Array, jax.Array]:
     """Binary-tree QR of L stacked (n x n) R factors.
 
     Given ``Rs`` of shape (L, n, n) (L a power of two), computes the QR of the
@@ -62,10 +74,14 @@ def reduction_tree(Rs: jax.Array) -> Tuple[jax.Array, jax.Array]:
     c = L
     while c > 1:
         pairs = cur.reshape(c // 2, 2 * n, n)
-        Vp, Tp, Rp = jax.vmap(panel_factor)(pairs)
-        Qp = jax.vmap(lambda v, t: reduced_q_from_vt(v, t, n))(Vp, Tp)
+        if method == "cholqr2":
+            Qp, Rn_ = jax.vmap(cholesky_qr2)(pairs)
+            cur = Rn_
+        else:
+            Vp, Tp, Rp = jax.vmap(panel_factor)(pairs)
+            Qp = jax.vmap(lambda v, t: reduced_q_from_vt(v, t, n))(Vp, Tp)
+            cur = jnp.triu(Rp[:, :n, :])
         level_qs.append(Qp)  # (c//2, 2n, n)
-        cur = jnp.triu(Rp[:, :n, :])
         c //= 2
     R = cur[0]
     # Top-down reconstruction of the per-leaf path factors.
@@ -88,24 +104,27 @@ def _pick_leaves(m: int, n: int, n_leaves: Optional[int]) -> int:
     return L
 
 
-@partial(jax.jit, static_argnames=("n_leaves",))
-def _tsqr_impl(A: jax.Array, n_leaves: int):
+@partial(jax.jit, static_argnames=("n_leaves", "method"))
+def _tsqr_impl(A: jax.Array, n_leaves: int, method: str = "householder"):
     m, n = A.shape
     L = n_leaves
     h = -(-m // L)  # ceil
     pad = L * h - m
     Ap = jnp.pad(A, ((0, pad), (0, 0))) if pad else A
     blocks = Ap.reshape(L, h, n)
-    Qs, Rs = jax.vmap(_leaf_qr)(blocks)          # (L, h, n), (L, n, n)
-    F, R = reduction_tree(Rs)                    # (L, n, n), (n, n)
+    Qs, Rs = jax.vmap(lambda b: _leaf_qr(b, method))(blocks)
+    F, R = reduction_tree(Rs, method)            # (L, n, n), (n, n)
     Qb = jnp.einsum("lhj,ljk->lhk", Qs, F, precision=_HI)
     Q = Qb.reshape(L * h, n)
     return Q[:m, :], R
 
 
-def tsqr(A, n_leaves: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
+def tsqr(
+    A, n_leaves: Optional[int] = None, method: str = "householder"
+) -> Tuple[jax.Array, jax.Array]:
     """Reduced QR of a tall-skinny matrix via TSQR.  A: (m, n), m >> n.
 
+    method: 'householder' (robust) or 'cholqr2' (all-GEMM fast path).
     Returns (Q (m x n), R (n x n)).
     """
     A = jnp.asarray(A, dtype=jnp.float32)
@@ -114,8 +133,8 @@ def tsqr(A, n_leaves: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
         raise ValueError(f"tsqr requires m >= n, got {A.shape}")
     L = _pick_leaves(m, n, n_leaves)
     if L == 1:
-        return _leaf_qr(A)
-    return _tsqr_impl(A, L)
+        return _leaf_qr(A, method)
+    return _tsqr_impl(A, L, method)
 
 
 def tsqr_batched(A_batch, n_leaves: Optional[int] = None):
