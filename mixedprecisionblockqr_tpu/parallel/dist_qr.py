@@ -60,11 +60,17 @@ def _panel_reflector(
     w: int,
     h: int,
     axis: str,
+    panel_method: str = "householder",
 ):
     """Factor panel columns [lam, lam+w) across devices.
 
     Returns (Y_loc (h x w), Sinv (w x w, replicated), R_panel (w x w,
     replicated, sign-fixed)).
+
+    panel_method='cholqr2' runs the all-GEMM CholeskyQR2 leaf per device
+    (ops/cholqr.py); devices whose rows are entirely above the panel get a
+    regularized Gram so the Cholesky stays defined, and their (meaningless)
+    leaf factors are masked back to zero before the gather.
     """
     d = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
@@ -72,9 +78,23 @@ def _panel_reflector(
     active = glob >= lam
 
     P_loc = jnp.where(active[:, None], A_loc[:, lam : lam + w], 0.0)
-    V, T, Rf = panel_factor(P_loc)
-    Q_leaf = reduced_q_from_vt(V, T, w)            # (h, w); zero on inactive rows
-    R_loc = jnp.triu(Rf[:w, :])
+    if panel_method == "cholqr2":
+        from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
+
+        alive = jnp.any(active).astype(P_loc.dtype)
+        # Dead devices (all rows above the panel): identity Gram keeps the
+        # Cholesky finite; factors are zeroed below so they contribute
+        # nothing to the reduction tree.
+        P_reg = P_loc + (1.0 - alive) * jnp.eye(
+            P_loc.shape[0], w, dtype=P_loc.dtype
+        )
+        Q_leaf, R_loc = cholesky_qr2(P_reg)
+        Q_leaf = Q_leaf * alive
+        R_loc = jnp.triu(R_loc) * alive
+    else:
+        V, T, Rf = panel_factor(P_loc)
+        Q_leaf = reduced_q_from_vt(V, T, w)        # (h, w); zero on inactive rows
+        R_loc = jnp.triu(Rf[:w, :])
 
     R_all = jax.lax.all_gather(R_loc, axis)        # (d, w, w) replicated
     F, R_pan = reduction_tree(R_all)               # (d, w, w), (w, w)
@@ -112,6 +132,7 @@ def _dist_qr_local(
     block_size: int,
     axis: str,
     policy: DTypePolicy,
+    panel_method: str = "householder",
 ):
     """SPMD body (inside shard_map): the full panel loop on local shards."""
     h = A_loc.shape[0]
@@ -131,7 +152,7 @@ def _dist_qr_local(
 
     for lam in range(0, n, r):
         w = min(r, n - lam)
-        Y, Sinv, R_pan = _panel_reflector(A_loc, lam, w, h, axis)
+        Y, Sinv, R_pan = _panel_reflector(A_loc, lam, w, h, axis, panel_method)
 
         # Write the panel result: rows in [lam, lam+w) <- R_pan; rows below
         # panel <- 0; rows above unchanged.
@@ -179,6 +200,7 @@ def _jitted_dist_qr(
     with_b: bool,
     axis: str,
     mesh_key,
+    panel_method: str = "householder",
 ):
     mesh = _MESHES[mesh_key]
 
@@ -192,6 +214,7 @@ def _jitted_dist_qr(
             block_size=block_size,
             axis=axis,
             policy=policy,
+            panel_method=panel_method,
         )
         outs = [A_out]
         outs.append(Q_out if want_q else jnp.zeros((1, 1), A_out.dtype))
@@ -228,6 +251,7 @@ def dist_block_qr(
     axis: str = ROWS_AXIS,
     mode: str = "reduced",
     b=None,
+    panel_method: str = "householder",
 ):
     """Distributed blocked QR of a row-sharded A over ``mesh[axis]``.
 
@@ -258,7 +282,8 @@ def dist_block_qr(
     )
 
     fn = _jitted_dist_qr(
-        m, n, d, block_size, policy, want_q, with_b, axis, _mesh_key(mesh)
+        m, n, d, block_size, policy, want_q, with_b, axis, _mesh_key(mesh),
+        panel_method,
     )
     A_out, Qt, B_out = fn(A, Q0, B)
     if with_b:

@@ -70,3 +70,19 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dist_qr_cholqr2_panels(mesh):
+    A = np.random.default_rng(5).random((256, 128)).astype(np.float32)
+    Q, R = dist_block_qr(A, mesh, block_size=32, mode="complete",
+                         panel_method="cholqr2")
+    rep = metrics.evaluate(A, Q, R, precision_bits=23)
+    assert rep.all_ok, str(rep)
+
+
+def test_dist_qr_cholqr2_mixed(mesh):
+    A = np.random.default_rng(6).random((256, 128)).astype(np.float32)
+    Q, R = dist_block_qr(A, mesh, block_size=32, policy=POLICY_MIXED,
+                         mode="complete", panel_method="cholqr2")
+    rep = metrics.evaluate(A, Q, R, precision_bits=8)
+    assert rep.all_ok, str(rep)
