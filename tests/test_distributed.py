@@ -86,3 +86,46 @@ def test_dist_qr_cholqr2_mixed(mesh):
                          mode="complete", panel_method="cholqr2")
     rep = metrics.evaluate(A, Q, R, precision_bits=8)
     assert rep.all_ok, str(rep)
+
+
+def test_batched_sharded_dp():
+    from mixedprecisionblockqr_tpu.parallel.batched import (
+        block_qr_batched_sharded,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import BATCH_AXIS, make_mesh
+
+    mesh = make_mesh((8,), (BATCH_AXIS,))
+    A = np.random.default_rng(7).random((8, 96, 48)).astype(np.float32)
+    Q, R = block_qr_batched_sharded(A, mesh, block_size=16)
+    Qn, Rn = np.asarray(Q), np.asarray(R)
+    for i in range(8):
+        err = float(
+            metrics.backward_error(
+                jnp.asarray(A[i]), jnp.asarray(Qn[i]), jnp.asarray(Rn[i])
+            )
+        )
+        assert err < 1e-5, (i, err)
+
+
+def test_tsqr_batched_sharded_2d_mesh():
+    from mixedprecisionblockqr_tpu.parallel.batched import (
+        tsqr_batched_sharded_2d,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import (
+        BATCH_AXIS,
+        ROWS_AXIS,
+        make_mesh,
+    )
+
+    mesh = make_mesh((2, 4), (BATCH_AXIS, ROWS_AXIS))
+    A = np.random.default_rng(8).random((4, 256, 16)).astype(np.float32)
+    Q, R = tsqr_batched_sharded_2d(A, mesh)
+    assert "batch" in str(Q.sharding.spec) and "rows" in str(Q.sharding.spec)
+    Qn, Rn = np.asarray(Q), np.asarray(R)
+    for i in range(4):
+        err = float(
+            metrics.backward_error(
+                jnp.asarray(A[i]), jnp.asarray(Qn[i]), jnp.asarray(Rn[i])
+            )
+        )
+        assert err < 1e-5, (i, err)
