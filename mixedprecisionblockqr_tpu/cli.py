@@ -114,7 +114,13 @@ def cmd_bench(args) -> int:
             )
             return x * (1.0 + 1e-12 * R_full[0, 0])
 
-        sec = time_step_amortized(step, A, iters=args.iters)
+        if args.profile_dir:
+            from mixedprecisionblockqr_tpu.utils.timing import trace
+
+            with trace(f"blockqr_{s}", log_dir=args.profile_dir):
+                sec = time_step_amortized(step, A, iters=args.iters)
+        else:
+            sec = time_step_amortized(step, A, iters=args.iters)
         tflops = qr_flops(s, s) / sec / 1e12
         logger.write_csv(
             f"tpu_block_{args.policy}", s, s, sec, qr_flops(s, s), rep.backward
@@ -136,6 +142,8 @@ def cmd_suite(args) -> int:
     """The reference's full test/benchmark entry (``Cuda/main.cu:11-26``):
     static random size table + Jacobian dataset, each through the CPU-spec,
     fp32-blocked, and mixed-precision drivers, CSV-logged."""
+    import os
+
     import jax.numpy as jnp
 
     from mixedprecisionblockqr_tpu.models.slam import enumerate_jacobians
@@ -148,9 +156,27 @@ def cmd_suite(args) -> int:
 
     logger = ResultsLogger(args.log_dir)
     failures = 0
+    done = set()
+    if args.resume:
+        # Sweep-resume: skip (name, m, n) combos already in the CSV logs —
+        # long dataset sweeps survive interruption (SURVEY §5
+        # checkpoint/resume).
+        import glob as _glob
+
+        from mixedprecisionblockqr_tpu.utils.logging import read_csv_log
+
+        for path in _glob.glob(os.path.join(args.log_dir, "*.txt")):
+            name = os.path.splitext(os.path.basename(path))[0]
+            try:
+                for rec in read_csv_log(path):
+                    done.add((name, rec["rows"], rec["cols"]))
+            except Exception:
+                pass
 
     def run_case(name, a, r, policy, bits):
         nonlocal failures
+        if (name, a.shape[0], a.shape[1]) in done:
+            return
         t0 = time.perf_counter()
         Q, R = block_qr(a, block_size=r, policy=policy, mode="complete")
         rep = metrics.evaluate(a, Q, R, precision_bits=bits)
@@ -270,12 +296,16 @@ def main(argv: Optional[list] = None) -> int:
     _common_flags(p, with_matrix=False)
     p.add_argument("--sizes", default="256,512,1024,2048")
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace here (NVTX analog)")
     p.set_defaults(fn=cmd_bench, panel_method="cholqr2")
 
     p = sub.add_parser("suite", help="full test/bench suite (main.cu parity)")
     p.add_argument("--data-dir", default=None)
     p.add_argument("--max-jacobians", type=int, default=8)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="skip shapes already present in the CSV logs")
     p.add_argument("--log-dir", default="log")
     p.set_defaults(fn=cmd_suite)
 

@@ -70,10 +70,21 @@ POLICY_BF16 = DTypePolicy(
     panel=jnp.bfloat16, trailing=jnp.bfloat16, q_update=jnp.bfloat16,
     precision_bits=8,
 )
+# fp64 oracle policy (CPU or x64-enabled TPU; the reference's fp64 study
+# column, performance_test_result/error.md).
+POLICY_FP64 = DTypePolicy(
+    panel=jnp.float64, trailing=jnp.float64, q_update=jnp.float64,
+    accum=jnp.float64, precision_bits=52,
+)
 
 
 def policy_by_name(name: str) -> DTypePolicy:
-    table = {"fp32": POLICY_FP32, "mixed": POLICY_MIXED, "bf16": POLICY_BF16}
+    table = {
+        "fp32": POLICY_FP32,
+        "mixed": POLICY_MIXED,
+        "bf16": POLICY_BF16,
+        "fp64": POLICY_FP64,
+    }
     if name not in table:
         raise ValueError(f"unknown dtype policy {name!r}; options: {sorted(table)}")
     return table[name]

@@ -118,3 +118,14 @@ def test_block_qr_r_only_mode():
     np.testing.assert_allclose(
         np.abs(np.diag(np.asarray(R))), np.abs(np.diag(Rn)), rtol=1e-4
     )
+
+
+def test_block_qr_fp64_policy():
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_FP64
+
+    A = _rand(64, 48, seed=9).astype(np.float64)
+    Q, R = block_qr(A, block_size=16, policy=POLICY_FP64, mode="complete")
+    assert Q.dtype == jnp.float64
+    QR = np.asarray(Q, np.float64) @ np.asarray(R, np.float64)
+    err = np.linalg.norm(A - QR) / np.linalg.norm(A)
+    assert err < 1e-13, err
