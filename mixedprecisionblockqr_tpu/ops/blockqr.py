@@ -84,8 +84,22 @@ def _block_qr_traced(
         w = min(r, n - lam)
         panel = A[lam:, lam : lam + w]
 
-        if panel_method == "householder":
-            V, T, Rp = panel_factor(panel)
+        if panel_method in ("householder", "householder_pallas"):
+            if panel_method == "householder_pallas":
+                # Fused VMEM kernel (ops/pallas/panel.py): ~1.7x faster than
+                # the XLA fori loop for MXU-aligned panels on TPU.
+                from mixedprecisionblockqr_tpu.ops.pallas.panel import (
+                    panel_factor_fused,
+                )
+
+                V, T, Rp = panel_factor_fused(panel)
+                V, T, Rp = (
+                    V.astype(policy.panel),
+                    T.astype(policy.panel),
+                    Rp.astype(policy.panel),
+                )
+            else:
+                V, T, Rp = panel_factor(panel)
             A = A.at[lam:, lam : lam + w].set(Rp)
 
             def left(X):

@@ -29,16 +29,27 @@ from jax.experimental.pallas import tpu as pltpu
 _TINY = 1e-30
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dotf(a, b):
+    # fp32-true dot: Mosaic lowers default-precision fp32 dots to one bf16
+    # MXU pass, which would degrade the panel to bf16 accuracy.
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_HI)
+
+
 def _panel_kernel(p_ref, v_ref, t_ref, r_ref, *, ncols: int):
     m, r = p_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    cols_m = jax.lax.broadcasted_iota(jnp.int32, (m, r), 1)
 
     v_ref[:] = jnp.zeros_like(v_ref)
     t_ref[:] = jnp.zeros_like(t_ref)
 
     def body(j, _):
         P = p_ref[:]
-        x = P[:, j][:, None]                       # (m, 1)
+        # Column j via masked reduction (Mosaic TC has no dynamic_slice).
+        x = jnp.sum(jnp.where(cols_m == j, P, 0.0), axis=1, keepdims=True)
         mask = rows >= j
         xm = jnp.where(mask, x, 0.0)
         sigma2 = jnp.sum(xm * xm)
@@ -53,20 +64,21 @@ def _panel_kernel(p_ref, v_ref, t_ref, r_ref, *, ncols: int):
         beta = jnp.where(live, 2.0, 0.0).astype(x.dtype)
 
         # Rank-1 update of the whole panel: P -= beta * w (w^T P).
-        wtP = jnp.dot(w.T, P, preferred_element_type=jnp.float32)  # (1, r)
-        p_ref[:] = P - beta * (w @ wtP)
+        # Outer product as a VPU broadcast multiply (a matmul here would
+        # round the operands to bf16 on the MXU).
+        wtP = _dotf(w.T, P)                        # (1, r)
+        p_ref[:] = P - beta * (w * wtP)
 
         # T column: t = -beta * T @ (V^T w); T[j, j] = beta.
         V = v_ref[:]
         T = t_ref[:]
-        vtw = jnp.dot(V.T, w, preferred_element_type=jnp.float32)  # (r, 1)
-        tcol = -beta * jnp.dot(T, vtw, preferred_element_type=jnp.float32)
+        vtw = _dotf(V.T, w)                        # (r, 1)
+        tcol = -beta * _dotf(T, vtw)
         cols_r = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
         tcol = jnp.where(cols_r < j, tcol, 0.0)
         tcol = jnp.where(cols_r == j, beta, tcol)
 
-        col_sel = jax.lax.broadcasted_iota(jnp.int32, (m, r), 1) == j
-        v_ref[:] = jnp.where(col_sel, w, V)
+        v_ref[:] = jnp.where(cols_m == j, w, V)
         tcol_b = jnp.broadcast_to(tcol, (r, r))  # column vector down rows
         t_ref[:] = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (r, r), 1) == j, tcol_b, T
@@ -77,14 +89,26 @@ def _panel_kernel(p_ref, v_ref, t_ref, r_ref, *, ncols: int):
     r_ref[:] = p_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def panel_factor_fused(
-    panel: jax.Array, interpret: bool = False
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def panel_factor_fused(panel, interpret=None):
     """Pallas-fused equivalent of ``ops.householder.panel_factor``.
 
-    Returns (V (m x r), T (r x r), R_panel (m x r)).
+    Returns (V (m x r), T (r x r), R_panel (m x r)).  ``interpret`` defaults
+    to True on CPU backends (tests) and False on TPU.
     """
+    if interpret is None:
+        import jax.extend.backend as jxb
+
+        try:
+            interpret = jxb.get_backend().platform == "cpu"
+        except Exception:
+            interpret = True
+    return _panel_factor_fused(panel, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _panel_factor_fused(
+    panel: jax.Array, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     m, r = panel.shape
     panel = panel.astype(jnp.float32)
     kernel = functools.partial(_panel_kernel, ncols=r)

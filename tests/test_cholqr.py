@@ -77,3 +77,11 @@ def test_newton_inv_matches_lu():
     np.testing.assert_allclose(
         np.asarray(Sinv_nw), np.asarray(Sinv_lu), atol=1e-4
     )
+
+
+def test_block_qr_householder_pallas_panels():
+    A = np.random.default_rng(7).random((192, 96)).astype(np.float32) - 0.5
+    Q, R = block_qr(A, block_size=32, mode="complete",
+                    panel_method="householder_pallas")
+    rep = metrics.evaluate(A, Q, R, precision_bits=23)
+    assert rep.all_ok, str(rep)
