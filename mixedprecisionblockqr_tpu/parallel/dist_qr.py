@@ -62,7 +62,21 @@ def _panel_reflector(
     axis: str,
     panel_method: str = "householder",
 ):
-    """Factor panel columns [lam, lam+w) across devices.
+    return _panel_reflector_cols(
+        A_loc[:, lam : lam + w], lam, w, h, axis, panel_method
+    )
+
+
+def _panel_reflector_cols(
+    P_cols: jax.Array,
+    lam,
+    w: int,
+    h: int,
+    axis: str,
+    panel_method: str = "householder",
+):
+    """Factor panel columns [lam, lam+w) across devices (``P_cols`` already
+    sliced; ``lam`` may be a traced scalar in scan mode).
 
     Returns (Y_loc (h x w), Sinv (w x w, replicated), R_panel (w x w,
     replicated, sign-fixed)).
@@ -77,7 +91,7 @@ def _panel_reflector(
     glob = my * h + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
     active = glob >= lam
 
-    P_loc = jnp.where(active[:, None], A_loc[:, lam : lam + w], 0.0)
+    P_loc = jnp.where(active[:, None], P_cols, 0.0)
     if panel_method == "cholqr2":
         from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 
@@ -102,8 +116,9 @@ def _panel_reflector(
     Q_red_loc = jnp.matmul(Q_leaf, myF, precision=_HI)  # (h, w)
 
     # Top (w x w) block of the global reduced Q lives on device i0.
+    # (lam may be traced in scan mode — all index math stays dynamic-safe.)
     i0, loc = lam // h, lam % h
-    cand = Q_red_loc[loc : loc + w, :]
+    cand = jax.lax.dynamic_slice_in_dim(Q_red_loc, loc, w, axis=0)
     Q1 = jax.lax.psum(jnp.where(my == i0, cand, jnp.zeros_like(cand)), axis)
 
     # Column sign-fix: make diag(Q1) <= 0 so S = I - Q1^T is well-conditioned.
@@ -133,6 +148,7 @@ def _dist_qr_local(
     axis: str,
     policy: DTypePolicy,
     panel_method: str = "householder",
+    loop_mode: str = "unroll",
 ):
     """SPMD body (inside shard_map): the full panel loop on local shards."""
     h = A_loc.shape[0]
@@ -149,6 +165,71 @@ def _dist_qr_local(
                                accum_dtype=policy.accum)
     mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
                                accum_dtype=policy.accum)
+
+    if loop_mode == "scan":
+        # One compiled panel step iterated with lax.fori_loop — for large
+        # n/r the unrolled graph would take hours to compile (e.g. 16384^2
+        # at r=256 is 64 panels).  Instead of slice-and-scatter bookkeeping,
+        # each step applies H^T to the FULL width: finished columns are
+        # invariant (Y has no support on their nonzero rows) and the panel
+        # columns themselves become [R; 0] — exactly H^T A.  Costs ~1.5x
+        # the trailing-only FLOPs; wins whenever compile time or program
+        # size dominates.
+        if n % r != 0:
+            raise ValueError(f"scan mode needs block_size | n ({r} vs {n})")
+
+        def panel_step(k, carry):
+            A_loc, Q_loc, B_loc = carry
+            lam = k * r
+            P_loc = jax.lax.dynamic_slice_in_dim(A_loc, lam, r, axis=1)
+            Y, Sinv, _ = _panel_reflector_cols(
+                P_loc, lam, r, h, axis, panel_method
+            )
+            G = jax.lax.psum(mm_t(Y.T, A_loc), axis)
+            M = jnp.matmul(Sinv.T, G, precision=_HI)
+            A_loc = (A_loc - mm_t(Y, M)).astype(A_loc.dtype)
+            if B_loc is not None:
+                Gb = jax.lax.psum(mm_t(Y.T, B_loc), axis)
+                B_loc = B_loc - mm_t(Y, jnp.matmul(Sinv.T, Gb, precision=_HI))
+            if Q_loc is not None:
+                QY = jax.lax.psum(mm_q(Q_loc.T, Y), axis)
+                Mq = jnp.matmul(QY, Sinv, precision=_HI)
+                Q_loc = Q_loc - mm_q(Y, Mq.T)
+            return A_loc, Q_loc, B_loc
+
+        dummy = jnp.zeros((1, 1), A_loc.dtype)
+        carry0 = (
+            A_loc,
+            Q_loc if Q_loc is not None else dummy,
+            B_loc if B_loc is not None else dummy,
+        )
+
+        def panel_step_wrapped(k, carry):
+            a, q, b_ = carry
+            a, q2, b2 = panel_step(
+                k,
+                (
+                    a,
+                    q if Q_loc is not None else None,
+                    b_ if B_loc is not None else None,
+                ),
+            )
+            return (
+                a,
+                q2 if Q_loc is not None else q,
+                b2 if B_loc is not None else b_,
+            )
+
+        A_loc, Q_out, B_out = jax.lax.fori_loop(
+            0, n // r, panel_step_wrapped, carry0
+        )
+        Q_loc = Q_out if Q_loc is not None else None
+        B_loc = B_out if B_loc is not None else None
+        # Zero sub-diagonal rounding residue (the unrolled path writes
+        # exact zeros; here triu-mask locally by global row index).
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+        A_loc = jnp.where(col >= glob[:, None], A_loc, 0.0)
+        return A_loc, Q_loc, B_loc
 
     for lam in range(0, n, r):
         w = min(r, n - lam)
@@ -201,6 +282,7 @@ def _jitted_dist_qr(
     axis: str,
     mesh_key,
     panel_method: str = "householder",
+    loop_mode: str = "unroll",
 ):
     mesh = _MESHES[mesh_key]
 
@@ -215,6 +297,7 @@ def _jitted_dist_qr(
             axis=axis,
             policy=policy,
             panel_method=panel_method,
+            loop_mode=loop_mode,
         )
         outs = [A_out]
         outs.append(Q_out if want_q else jnp.zeros((1, 1), A_out.dtype))
@@ -252,6 +335,7 @@ def dist_block_qr(
     mode: str = "reduced",
     b=None,
     panel_method: str = "householder",
+    loop_mode: str = "unroll",
 ):
     """Distributed blocked QR of a row-sharded A over ``mesh[axis]``.
 
@@ -283,7 +367,7 @@ def dist_block_qr(
 
     fn = _jitted_dist_qr(
         m, n, d, block_size, policy, want_q, with_b, axis, _mesh_key(mesh),
-        panel_method,
+        panel_method, loop_mode,
     )
     A_out, Qt, B_out = fn(A, Q0, B)
     if with_b:
