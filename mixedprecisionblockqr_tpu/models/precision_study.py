@@ -54,8 +54,11 @@ def _qr_numpy_fp16(A: np.ndarray):
         u = x.copy()
         u[0] = np.float16(u[0] + np.sign(u[0] + np.float16(1e-8)) * sigma)
         norm_u = np.float16(np.linalg.norm(u.astype(np.float16)))
-        if norm_u == 0 or not np.isfinite(norm_u):
+        if norm_u == 0:
             continue
+        # No finiteness guard: the reference's fp16 path lets inf/NaN
+        # propagate (performance_test_result/error.md:15-16) — reproducing
+        # that failure mode is the point of this configuration.
         w = (u / norm_u).astype(np.float16)
         R[k:, :] = (R[k:, :] - 2 * np.outer(w, w @ R[k:, :])).astype(np.float16)
         Q[:, k:] = (Q[:, k:] - 2 * np.outer(Q[:, k:] @ w, w)).astype(np.float16)
