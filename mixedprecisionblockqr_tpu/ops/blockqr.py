@@ -84,8 +84,17 @@ def _block_qr_traced(
         w = min(r, n - lam)
         panel = A[lam:, lam : lam + w]
 
-        if panel_method in ("householder", "householder_pallas"):
-            if panel_method == "householder_pallas":
+        # CholeskyQR squares the panel's condition number; tall random
+        # panels are safe (cond ~ O(1-10)) but the FINAL panel of a square
+        # matrix is square and ill-conditioned — its Gram breaks fp32
+        # Cholesky.  Hybrid rule: any panel with aspect < 2 falls back to
+        # the Householder panel (static per-panel decision, zero overhead).
+        pm = panel_method
+        if pm.startswith("cholqr") and (m - lam) < 2 * w:
+            pm = "householder"
+
+        if pm in ("householder", "householder_pallas"):
+            if pm == "householder_pallas":
                 # Fused VMEM kernel (ops/pallas/panel.py): ~1.7x faster than
                 # the XLA fori loop for MXU-aligned panels on TPU.
                 from mixedprecisionblockqr_tpu.ops.pallas.panel import (
@@ -108,18 +117,18 @@ def _block_qr_traced(
             def right(X):
                 return apply_block_reflector_right(X, V, T, policy)
 
-        elif panel_method in ("cholqr1", "cholqr2", "cholqr2s"):
+        elif pm in ("cholqr1", "cholqr2", "cholqr2s"):
             # cholqr1: single orthogonalization pass + Newton-Schulz S
             # inverse — all small ops become GEMMs; panel orthogonality
             # ~cond^2*eps_f32, below bf16 noise (mixed-policy fast path).
             Q_red, Rp = cholesky_qr2(
                 panel,
-                shifted=panel_method == "cholqr2s",
-                passes=1 if panel_method == "cholqr1" else 2,
+                shifted=pm == "cholqr2s",
+                passes=1 if pm == "cholqr1" else 2,
             )
             Y, Sinv, Rp = yamamoto_reflector(
                 Q_red, Rp,
-                inv_method="newton" if panel_method == "cholqr1" else "lu",
+                inv_method="newton" if pm == "cholqr1" else "lu",
             )
             pad = jnp.zeros((m - lam - w, w), A.dtype)
             A = A.at[lam:, lam : lam + w].set(
@@ -137,7 +146,7 @@ def _block_qr_traced(
                 return X - mm_q(jnp.matmul(XY, Sinv, precision=_HI), Y.T)
 
         else:
-            raise ValueError(f"unknown panel_method {panel_method!r}")
+            raise ValueError(f"unknown panel_method {pm!r}")
 
         if lam + w < n:
             C = A[lam:, lam + w :]

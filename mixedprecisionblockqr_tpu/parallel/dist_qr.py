@@ -233,7 +233,13 @@ def _dist_qr_local(
 
     for lam in range(0, n, r):
         w = min(r, n - lam)
-        Y, Sinv, R_pan = _panel_reflector(A_loc, lam, w, h, axis, panel_method)
+        # Hybrid rule (same as ops/blockqr.py): CholeskyQR leaves square the
+        # condition number, and the final panel of a square matrix is square
+        # — fall back to Householder leaves when the global aspect < 2.
+        pm = panel_method
+        if pm == "cholqr2" and (m - lam) < 2 * w:
+            pm = "householder"
+        Y, Sinv, R_pan = _panel_reflector(A_loc, lam, w, h, axis, pm)
 
         # Write the panel result: rows in [lam, lam+w) <- R_pan; rows below
         # panel <- 0; rows above unchanged.

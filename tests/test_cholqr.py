@@ -85,3 +85,16 @@ def test_block_qr_householder_pallas_panels():
                     panel_method="householder_pallas")
     rep = metrics.evaluate(A, Q, R, precision_bits=23)
     assert rep.all_ok, str(rep)
+
+
+def test_cholqr_square_matrix_hybrid():
+    """Square matrices: the final panel is square/ill-conditioned — the
+    hybrid rule must route it to the Householder panel so CholeskyQR
+    methods stay accurate (regression for the TPU sweep blow-up)."""
+    A = np.random.default_rng(8).random((256, 256)).astype(np.float32) - 0.5
+    for pm in ("cholqr1", "cholqr2"):
+        Q, R = block_qr(A, block_size=128, policy=POLICY_MIXED,
+                        mode="complete", panel_method=pm)
+        rep = metrics.evaluate(A, Q, R, precision_bits=8)
+        assert rep.backward < 0.05, (pm, str(rep))
+        assert rep.all_ok, (pm, str(rep))
