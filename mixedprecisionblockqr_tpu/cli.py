@@ -48,12 +48,14 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
         p.add_argument("--file", help="Euroc Jacobian text file")
         p.add_argument("--cond", type=float, help="target condition number")
         p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--policy", default="mixed", choices=["fp32", "mixed", "bf16"])
+    p.add_argument("--policy", default="mixed",
+                   choices=["fp32", "mixed", "bf16", "fp64"])
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument(
         "--panel-method",
         default="householder",
-        choices=["householder", "cholqr2", "cholqr2s"],
+        choices=["householder", "householder_pallas", "cholqr1", "cholqr2",
+                 "cholqr2s"],
     )
     p.add_argument("--log-dir", default="log")
 

@@ -29,12 +29,11 @@ def random_matrix(key, m: int, n: int, dtype=jnp.float32) -> jax.Array:
 def conditioned_matrix(
     n: int, condition_number: float = 100.0, seed: int = 0
 ) -> np.ndarray:
-    """Random SPD matrix with controlled conditioning (Bierlaire, Toint &
-    Tuyttens 1991), behavioral port of ``python/utils.py:13-24``.
-
-    Note the reference squares the singular spectrum via ``P = P P^T``, so
-    cond(P) is the *square* of the cond built into the diagonal; we keep the
-    same construction for parity.
+    """Random SPD matrix with cond(P) == condition_number exactly
+    (Bierlaire, Toint & Tuyttens 1991), behavioral port of
+    ``python/utils.py:13-24``: the diagonal spectrum spans
+    sqrt(condition_number) and the final ``P = P P^T`` squares it back to
+    the requested target (verified in tests).
     """
     rng = np.random.default_rng(seed)
     cond_p = float(condition_number)

@@ -104,3 +104,14 @@ def test_enumerate_jacobians_synthetic_fallback():
     assert len(cases) >= 5
     A = cases[0].load()
     assert A.shape == (cases[0].m, cases[0].n)
+
+
+def test_conditioned_matrix_hits_target():
+    """Parity with the reference's generator test (python/utils_test.py:4-8):
+    cond(P) hits the requested target exactly (the construction builds a
+    sqrt(target) spectrum, then P @ P.T squares it back to target)."""
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    for target in (10.0, 100.0, 1000.0):
+        P = conditioned_matrix(64, target, seed=1)
+        np.testing.assert_allclose(np.linalg.cond(P), target, rtol=1e-6)
