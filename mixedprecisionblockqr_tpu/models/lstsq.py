@@ -16,8 +16,6 @@ GEMMs instead of the reference's scalar Python loop.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -16,9 +16,8 @@ mode while keeping the same mantissa-driven error scale.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from mixedprecisionblockqr_tpu.ops.blockqr import block_qr

@@ -22,7 +22,7 @@ GEMMs), and XLA overlaps/fuses across panels.  Precision boundaries follow a
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax

@@ -20,7 +20,6 @@ column), matching the reference's WY semantics (``Cuda/qr.cu:351``,
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

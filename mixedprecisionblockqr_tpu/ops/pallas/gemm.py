@@ -25,7 +25,7 @@ cast boundary) and as the template for fused variants.
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

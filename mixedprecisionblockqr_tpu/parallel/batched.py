@@ -8,7 +8,7 @@ of dp/tp/sp layouts for a linear-algebra workload (SURVEY §2.5).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ geqrf/ormqr split, which the reference has no equivalent of.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Optional, Tuple
 
 import jax

@@ -39,7 +39,7 @@ round trips replaced by collectives; the TSQR panel is the completed form of
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

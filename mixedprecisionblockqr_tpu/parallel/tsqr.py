@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 from mixedprecisionblockqr_tpu.ops.householder import panel_factor

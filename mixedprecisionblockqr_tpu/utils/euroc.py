@@ -16,7 +16,7 @@ fallback is always correct.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ report.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 from mixedprecisionblockqr_tpu.utils.logging import average_by_rows, read_csv_log
 
