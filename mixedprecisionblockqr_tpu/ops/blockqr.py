@@ -74,7 +74,8 @@ def _block_qr_traced(
     m, n = A.shape
     r = min(block_size, n)
     A = A.astype(policy.panel)
-    Q = jnp.eye(m, dtype=policy.accum) if want_q else None
+    q_dtype = policy.q_store or policy.accum
+    Q = jnp.eye(m, dtype=q_dtype) if want_q else None
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
     mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
@@ -158,7 +159,7 @@ def _block_qr_traced(
 
         if want_q:
             Qc = Q[:, lam:]
-            Q = Q.at[:, lam:].set(right(Qc))
+            Q = Q.at[:, lam:].set(right(Qc).astype(q_dtype))
 
     R_full = jnp.triu(A.astype(policy.accum))
     return R_full, Q, B

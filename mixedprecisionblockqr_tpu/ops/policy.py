@@ -50,6 +50,13 @@ class DTypePolicy:
     q_update: Any = jnp.float32
     accum: Any = jnp.float32
     precision_bits: int = 23
+    # Storage dtype of the accumulated Q between panel updates (None =
+    # accum).  bf16 halves Q's HBM traffic — the dominant cost of complete-Q
+    # factorizations at m >= 8192 (+23% measured at 8192) — at ~2^-8
+    # orthogonality, which the mixed path already has.  The reference keeps
+    # its master Q fp32 and casts per panel (Cuda/qr.cu:1148), so the
+    # default POLICY_MIXED does too.
+    q_store: Any = None
 
     @property
     def name(self) -> str:
@@ -70,6 +77,11 @@ POLICY_BF16 = DTypePolicy(
     panel=jnp.bfloat16, trailing=jnp.bfloat16, q_update=jnp.bfloat16,
     precision_bits=8,
 )
+# Mixed + bf16-resident Q: fastest complete-Q path for large m.
+POLICY_MIXED_FAST = DTypePolicy(
+    trailing=jnp.bfloat16, q_update=jnp.bfloat16, q_store=jnp.bfloat16,
+    precision_bits=8,
+)
 # fp64 oracle policy (CPU or x64-enabled TPU; the reference's fp64 study
 # column, performance_test_result/error.md).
 POLICY_FP64 = DTypePolicy(
@@ -82,6 +94,7 @@ def policy_by_name(name: str) -> DTypePolicy:
     table = {
         "fp32": POLICY_FP32,
         "mixed": POLICY_MIXED,
+        "mixed_fast": POLICY_MIXED_FAST,
         "bf16": POLICY_BF16,
         "fp64": POLICY_FP64,
     }

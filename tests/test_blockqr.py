@@ -129,3 +129,14 @@ def test_block_qr_fp64_policy():
     QR = np.asarray(Q, np.float64) @ np.asarray(R, np.float64)
     err = np.linalg.norm(A - QR) / np.linalg.norm(A)
     assert err < 1e-13, err
+
+
+def test_mixed_fast_bf16_q_store():
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    A = _rand(128, 96, seed=10)
+    Q, R = block_qr(A, block_size=32, policy=POLICY_MIXED_FAST,
+                    mode="complete", panel_method="cholqr1")
+    assert Q.dtype == jnp.bfloat16
+    rep = metrics.evaluate(A, Q, R, precision_bits=8)
+    assert rep.all_ok, str(rep)
