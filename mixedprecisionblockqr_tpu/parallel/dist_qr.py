@@ -86,7 +86,6 @@ def _panel_reflector_cols(
     regularized Gram so the Cholesky stays defined, and their (meaningless)
     leaf factors are masked back to zero before the gather.
     """
-    d = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
     glob = my * h + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
     active = glob >= lam
