@@ -28,7 +28,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2, yamamoto_reflector
+from mixedprecisionblockqr_tpu.ops.cholqr import (
+    cholesky_qr2,
+    newton_inv,
+    yamamoto_reflector,
+)
 from mixedprecisionblockqr_tpu.ops.householder import (
     householder_qr,
     panel_factor,
@@ -165,6 +169,108 @@ def _block_qr_traced(
     return R_full, Q, B
 
 
+def _block_qr_scan(
+    A: jax.Array,
+    block_size: int,
+    policy: DTypePolicy,
+    want_q: bool,
+    B: Optional[jax.Array],
+    panel_method: str = "cholqr1",
+):
+    """Scan-mode driver: ONE compiled panel step iterated by ``fori_loop``.
+
+    The unrolled driver compiles n/r distinct panel programs (minutes at
+    8192^2 over a remote-compile link); here every panel shares one step:
+    the CholeskyQR panel is masked to rows >= lam, the Yamamoto reflector is
+    applied FULL-WIDTH (finished columns are invariant — Y has no support on
+    their nonzero rows — and the panel columns become [R; 0] exactly), so no
+    slice-and-scatter bookkeeping exists.  The final panel (square,
+    CholeskyQR-hostile) runs statically through the Householder panel.
+
+    Requires n % block_size == 0 (caller falls back to unrolled otherwise).
+    """
+    m, n = A.shape
+    r = block_size
+    A = A.astype(policy.panel)
+    q_dtype = policy.q_store or policy.accum
+    Q = jnp.eye(m, dtype=q_dtype) if want_q else None
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+    mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
+                               accum_dtype=policy.accum)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+
+    def panel_step(k, carry):
+        A, Q, B = carry
+        lam = k * r
+        P = jax.lax.dynamic_slice(A, (0, lam), (m, r))
+        P = jnp.where(rows[:, None] >= lam, P, 0.0)
+        Q_red, _ = cholesky_qr2(
+            P, shifted=panel_method == "cholqr2s",
+            passes=1 if panel_method == "cholqr1" else 2,
+        )
+        # Yamamoto reflector anchored at global row lam.
+        Q1 = jax.lax.dynamic_slice(Q_red, (lam, 0), (r, r))
+        D = jnp.where(jnp.diag(Q1) > 0, -1.0, 1.0).astype(Q_red.dtype)
+        Qs = Q_red * D[None, :]
+        e1 = (
+            (rows[:, None] - lam)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, r), 1)
+        ).astype(Qs.dtype)
+        Y = Qs - e1
+        S = jnp.eye(r, dtype=Qs.dtype) - (Q1 * D[None, :]).T
+        Sinv = newton_inv(S)
+        # Full-width left update A <- H^T A.
+        G = mm_t(Y.T, A)
+        A = (A - mm_t(Y, jnp.matmul(Sinv.T, G, precision=_HI))).astype(A.dtype)
+        if B is not None:
+            Gb = mm_t(Y.T, B)
+            B = (B - mm_t(Y, jnp.matmul(Sinv.T, Gb, precision=_HI))).astype(
+                B.dtype
+            )
+        if Q is not None:
+            QY = mm_q(Q, Y)
+            Q = (Q - mm_q(jnp.matmul(QY, Sinv, precision=_HI), Y.T)).astype(
+                q_dtype
+            )
+        return A, Q, B
+
+    nb = n // r
+    dummy = jnp.zeros((1, 1), A.dtype)
+    carry = (A, Q if want_q else dummy, B if B is not None else dummy)
+
+    def wrapped(k, c):
+        a, q, b = c
+        a2, q2, b2 = panel_step(
+            k, (a, q if want_q else None, b if B is not None else None)
+        )
+        return a2, (q2 if want_q else q), (b2 if B is not None else b)
+
+    # All but the last panel via the scan; the final (aspect-1) panel runs
+    # statically with the robust Householder factorization.
+    A, Qc, Bc = jax.lax.fori_loop(0, nb - 1, wrapped, carry)
+    Q = Qc if want_q else None
+    B = Bc if B is not None else None
+
+    lam = n - r
+    V, T, Rp = panel_factor(A[lam:, lam:])
+    A = A.at[lam:, lam:].set(Rp)
+    if B is not None:
+        B = B.at[lam:, :].set(
+            apply_block_reflector_left_t(B[lam:, :], V, T, policy).astype(
+                B.dtype
+            )
+        )
+    if want_q:
+        Qc = apply_block_reflector_right(
+            Q[:, lam:].astype(policy.accum), V, T, policy
+        )
+        Q = Q.at[:, lam:].set(Qc.astype(q_dtype))
+
+    R_full = jnp.triu(A.astype(policy.accum))
+    return R_full, Q, B
+
+
 @lru_cache(maxsize=None)
 def _jitted_driver(
     block_size: int,
@@ -172,8 +278,12 @@ def _jitted_driver(
     want_q: bool,
     with_b: bool,
     panel_method: str = "householder",
+    loop_mode: str = "unroll",
 ):
     def fn(A, B=None):
+        if loop_mode == "scan":
+            return _block_qr_scan(A, block_size, policy, want_q, B,
+                                  panel_method)
         return _block_qr_traced(A, block_size, policy, want_q, B, panel_method)
 
     if with_b:
@@ -187,6 +297,7 @@ def block_qr(
     policy: DTypePolicy = POLICY_FP32,
     mode: str = "reduced",
     panel_method: str = "householder",
+    loop_mode: str = "unroll",
 ):
     """Blocked WY Householder QR: A = QR.
 
@@ -209,7 +320,15 @@ def block_qr(
     if m < n:
         raise ValueError(f"block_qr requires m >= n, got {A.shape}")
     want_q = mode in ("reduced", "complete")
-    R_full, Q, _ = _jitted_driver(block_size, policy, want_q, False, panel_method)(A)
+    if loop_mode == "scan" and (
+        n % min(block_size, n) != 0
+        or not panel_method.startswith("cholqr")
+        or n <= block_size
+    ):
+        loop_mode = "unroll"  # scan needs r | n and a cholqr panel method
+    R_full, Q, _ = _jitted_driver(
+        block_size, policy, want_q, False, panel_method, loop_mode
+    )(A)
     if mode == "r":
         return R_full[:n, :]
     if mode == "reduced":

@@ -140,3 +140,28 @@ def test_mixed_fast_bf16_q_store():
     assert Q.dtype == jnp.bfloat16
     rep = metrics.evaluate(A, Q, R, precision_bits=8)
     assert rep.all_ok, str(rep)
+
+
+def test_block_qr_scan_mode():
+    """Single-chip scan mode: one fori_loop panel step + static Householder
+    final panel; must match the unrolled path's quality."""
+    A = _rand(256, 128, seed=11) - 0.5
+    Qs, Rs = block_qr(A, block_size=32, policy=POLICY_MIXED, mode="complete",
+                      panel_method="cholqr1", loop_mode="scan")
+    rep = metrics.evaluate(A, Qs, Rs, precision_bits=8)
+    assert rep.all_ok, str(rep)
+    Ru = block_qr(A, block_size=32, policy=POLICY_MIXED, mode="r",
+                  panel_method="cholqr1")
+    np.testing.assert_allclose(
+        np.abs(np.diag(np.asarray(Rs)[:128])),
+        np.abs(np.diag(np.asarray(Ru))), rtol=2e-2,
+    )
+
+
+def test_block_qr_scan_fallback_to_unroll():
+    # n not a multiple of r, or non-cholqr method -> silently unrolls.
+    A = _rand(96, 60, seed=12)
+    Q, R = block_qr(A, block_size=16, mode="complete",
+                    panel_method="householder", loop_mode="scan")
+    rep = metrics.evaluate(A, Q, R, precision_bits=23)
+    assert rep.all_ok, str(rep)
