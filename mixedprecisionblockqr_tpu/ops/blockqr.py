@@ -131,10 +131,9 @@ def _block_qr_traced(
                 shifted=pm == "cholqr2s",
                 passes=1 if pm == "cholqr1" else 2,
             )
-            Y, Sinv, Rp = yamamoto_reflector(
-                Q_red, Rp,
-                inv_method="newton" if pm == "cholqr1" else "lu",
-            )
+            # Newton-Schulz S-inverse converges to fp32 roundoff in 6
+            # GEMMs (sigma(S) in [1,2]); LU costs ~150us latency per call.
+            Y, Sinv, Rp = yamamoto_reflector(Q_red, Rp, inv_method="newton")
             pad = jnp.zeros((m - lam - w, w), A.dtype)
             A = A.at[lam:, lam : lam + w].set(
                 jnp.concatenate([Rp.astype(A.dtype), pad], axis=0)

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mixedprecisionblockqr_tpu.ops.cholqr import newton_inv
 from mixedprecisionblockqr_tpu.ops.householder import panel_factor
 from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32, matmul
 from mixedprecisionblockqr_tpu.ops.wy import reduced_q_from_vt
@@ -132,7 +133,9 @@ def _panel_reflector_cols(
     )
     Y_loc = Q_red_loc - e1_rows.astype(Q_red_loc.dtype)
     S = jnp.eye(w, dtype=Q1.dtype) - Q1.T
-    Sinv = jnp.linalg.inv(S)
+    # sigma(S) in [1, 2] by the sign fix -> Newton-Schulz converges in 6
+    # GEMMs; XLA's LU inverse costs ~150us of latency per panel on TPU.
+    Sinv = newton_inv(S)
     return Y_loc, Sinv, R_pan
 
 
