@@ -51,7 +51,7 @@ def main() -> int:
         )
         return x * (1.0 + 1e-12 * R_full[0, 0])
 
-    seconds = time_step_amortized(step, A, iters=8)
+    seconds = time_step_amortized(step, A, iters=24)
     tflops = qr_flops(M, N) / seconds / 1e12
     peak = device_peak_tflops("bfloat16") or 197.0
     target = 0.5 * peak

@@ -52,6 +52,15 @@ _HI = jax.lax.Precision.HIGHEST
 DEFAULT_BLOCK_SIZE = 128
 
 
+def _on_tpu() -> bool:
+    import jax.extend.backend as jxb
+
+    try:
+        return jxb.get_backend().platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _block_qr_traced(
     A: jax.Array,
     block_size: int,
@@ -96,7 +105,7 @@ def _block_qr_traced(
         # the Householder panel (static per-panel decision, zero overhead).
         pm = panel_method
         if pm.startswith("cholqr") and (m - lam) < 2 * w:
-            pm = "householder"
+            pm = "householder_pallas" if _on_tpu() else "householder"
 
         if pm in ("householder", "householder_pallas"):
             if pm == "householder_pallas":
