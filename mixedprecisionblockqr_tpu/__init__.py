@@ -25,7 +25,9 @@ from mixedprecisionblockqr_tpu.ops.policy import (
     DTypePolicy,
     POLICY_FP32,
     POLICY_MIXED,
+    POLICY_MIXED_FAST,
     POLICY_BF16,
+    POLICY_FP64,
 )
 from mixedprecisionblockqr_tpu.ops.householder import (
     householder_reflector,
@@ -58,7 +60,9 @@ __all__ = [
     "DTypePolicy",
     "POLICY_FP32",
     "POLICY_MIXED",
+    "POLICY_MIXED_FAST",
     "POLICY_BF16",
+    "POLICY_FP64",
     "householder_reflector",
     "householder_qr",
     "q_backward_accumulation",

@@ -234,6 +234,30 @@ def cmd_dataset(args) -> int:
     return 0
 
 
+def cmd_dist(args) -> int:
+    """Distributed QR over all available devices (1-D rows mesh)."""
+    import jax
+
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.policy import policy_by_name
+    from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
+    from mixedprecisionblockqr_tpu.parallel.mesh import make_mesh
+
+    a = _load_matrix(args)
+    mesh = make_mesh()
+    policy = policy_by_name(args.policy)
+    Q, R = dist_block_qr(
+        a, mesh, block_size=args.block_size, policy=policy, mode="complete",
+        panel_method=args.panel_method if args.panel_method in
+        ("householder", "cholqr2") else "householder",
+        loop_mode=args.loop_mode,
+    )
+    rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
+    print(f"devices={len(jax.devices())} mesh={dict(mesh.shape)}")
+    print(rep)
+    return 0 if rep.all_ok else 1
+
+
 def cmd_tsqr_bench(args) -> int:
     import jax.numpy as jnp
 
@@ -319,6 +343,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--out", default="data/jacobians")
     p.add_argument("--sizes", default="256x128,512x256,1024x512,2000x1000")
     p.set_defaults(fn=cmd_dataset)
+
+    p = sub.add_parser("dist", help="distributed QR over all devices")
+    _common_flags(p)
+    p.add_argument("--loop-mode", default="unroll", choices=["unroll", "scan"])
+    p.set_defaults(fn=cmd_dist)
 
     p = sub.add_parser("tsqr-bench", help="tall-skinny QR benchmark")
     p.add_argument("--m", type=int, default=100000)

@@ -54,3 +54,11 @@ def test_cli_suite_quick(tmp_path):
               "--log-dir", str(tmp_path)])
         == 0
     )
+
+
+def test_cli_dist(tmp_path):
+    assert (
+        main(["dist", "--m", "128", "--n", "64", "--block-size", "16",
+              "--policy", "fp32", "--log-dir", str(tmp_path)])
+        == 0
+    )

@@ -82,3 +82,22 @@ def test_tsqr_sharded_local_leaves():
     Ash = shard_rows(jnp.asarray(A), mesh)
     Q, R = tsqr_sharded(Ash, mesh, local_leaves=4)
     _check(A, Q, R)
+
+
+def test_tsqr_cholqr2_leaves():
+    A = np.random.default_rng(6).random((2048, 24)).astype(np.float32)
+    Q, R = tsqr(A, n_leaves=8, method="cholqr2")
+    _check(A, Q, R)
+
+
+def test_reduction_tree_cholqr2():
+    rng = np.random.default_rng(7)
+    n, L = 8, 4
+    Rs = jnp.asarray(
+        np.stack([np.triu(rng.random((n, n))) + np.eye(n) for _ in range(L)]),
+        jnp.float32,
+    )
+    F, R = reduction_tree(Rs, method="cholqr2")
+    stack = np.asarray(Rs).reshape(L * n, n)
+    Fstack = np.asarray(F).reshape(L * n, n)
+    np.testing.assert_allclose(Fstack @ np.asarray(R), stack, atol=1e-4)
