@@ -73,12 +73,23 @@ def _back_substitution(
         rhs = b[lo:hi, :]
         if hi < n:
             rhs = rhs - jnp.matmul(R[lo:hi, hi:], x[hi:, :], precision=_HI)
-        # In-block backward sweep (w static and small).
-        xb = jnp.zeros_like(rhs)
-        for i in reversed(range(w)):
-            s = rhs[i, :] - jnp.matmul(Rbb[i, i + 1 :], xb[i + 1 :, :],
-                                       precision=_HI)
-            xb = xb.at[i, :].set(s / Rbb[i, i])
+        # In-block backward sweep as ONE fori_loop (a Python-unrolled sweep
+        # produced O(n) HLO ops and minutes-long compiles at n >= 4096).
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0]
+
+        def sweep(t, xb):
+            i = w - 1 - t
+            mask = (rows_w > i).astype(rhs.dtype)          # cols already solved
+            ri = jnp.sum(
+                jnp.where(rows_w[:, None] == i, Rbb, 0.0), axis=0
+            )                                              # row i of Rbb
+            acc = jnp.matmul((ri * mask)[None, :], xb, precision=_HI)[0]
+            bi = jnp.sum(jnp.where(rows_w[:, None] == i, rhs, 0.0), axis=0)
+            dii = jnp.sum(jnp.where(rows_w == i, ri, 0.0))
+            xi = (bi - acc) / dii
+            return jnp.where(rows_w[:, None] == i, xi[None, :], xb)
+
+        xb = jax.lax.fori_loop(0, w, sweep, jnp.zeros_like(rhs))
         x = x.at[lo:hi, :].set(xb)
     return x[:, 0] if squeeze else x
 

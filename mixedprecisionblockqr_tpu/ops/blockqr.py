@@ -94,8 +94,85 @@ def _block_qr_traced(
     mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
                                accum_dtype=policy.accum)
 
-    for lam in range(0, n, r):
+    def _sub_reflector(cols, lam_, w_):
+        """CholeskyQR1 + Yamamoto of one sub-panel (rows lam_:, given the
+        already-updated column block ``cols`` of height m - lam_)."""
+        Q_red, Rp = cholesky_qr2(cols, passes=1)
+        Y, Sinv, Rp = yamamoto_reflector(Q_red, Rp, inv_method="newton")
+        return Y, Sinv, Rp
+
+    pair_mode = panel_method == "cholqr1x2"
+    base_method = "cholqr1" if pair_mode else panel_method
+
+    lam = 0
+    while lam < n:
         w = min(r, n - lam)
+
+        # --- paired-panel fast path ("cholqr1x2"): factor two adjacent
+        # r-wide panels, merge their Yamamoto reflectors into one 2r-wide
+        # block reflector (H1 H2 = I - Yc Sc Yc^T with
+        # Sc = [[S1, -S1 (Y1^T Y2) S2], [0, S2]]), and apply trailing/Q/B
+        # updates ONCE — halving the count of the large GEMMs.
+        if (
+            pair_mode
+            and w == r
+            and lam + 2 * r <= n
+            and (m - lam - r) >= 2 * r  # sub-panel 2 stays tall (aspect>=2)
+        ):
+            P1 = A[lam:, lam : lam + r]
+            Y1, S1, R1 = _sub_reflector(P1, lam, r)
+            A = A.at[lam:, lam : lam + r].set(
+                jnp.concatenate(
+                    [R1, jnp.zeros((m - lam - r, r), A.dtype)], axis=0
+                ).astype(A.dtype)
+            )
+            # Update only the sibling panel's columns with H1^T.
+            C = A[lam:, lam + r : lam + 2 * r]
+            G1 = mm_t(Y1.T, C)
+            C = C - mm_t(Y1, jnp.matmul(S1.T, G1, precision=_HI))
+            # Sub-panel 2 lives on rows lam+r: (static slice).
+            Y2b, S2, R2 = _sub_reflector(C[r:, :], lam + r, r)
+            A = A.at[lam:, lam + r : lam + 2 * r].set(
+                jnp.concatenate(
+                    [C[:r, :], R2, jnp.zeros((m - lam - 2 * r, r), A.dtype)],
+                    axis=0,
+                ).astype(A.dtype)
+            )
+            Y2 = jnp.concatenate(
+                [jnp.zeros((r, r), Y2b.dtype), Y2b], axis=0
+            )
+            # Merge: Sc upper block = -S1 (Y1^T Y2) S2.
+            cross = jnp.matmul(
+                jnp.matmul(S1, mm_t(Y1.T, Y2), precision=_HI),
+                S2, precision=_HI,
+            )
+            Yc = jnp.concatenate([Y1, Y2], axis=1)       # (m-lam, 2r)
+            Sc = jnp.concatenate(
+                [
+                    jnp.concatenate([S1, -cross], axis=1),
+                    jnp.concatenate([jnp.zeros((r, r), S2.dtype), S2], axis=1),
+                ],
+                axis=0,
+            )
+
+            if lam + 2 * r < n:
+                C2 = A[lam:, lam + 2 * r :]
+                G = mm_t(Yc.T, C2)
+                C2 = C2 - mm_t(Yc, jnp.matmul(Sc.T, G, precision=_HI))
+                A = A.at[lam:, lam + 2 * r :].set(C2.astype(A.dtype))
+            if B is not None:
+                Bl = B[lam:, :]
+                Gb = mm_t(Yc.T, Bl)
+                Bl = Bl - mm_t(Yc, jnp.matmul(Sc.T, Gb, precision=_HI))
+                B = B.at[lam:, :].set(Bl.astype(B.dtype))
+            if want_q:
+                Qc = Q[:, lam:]
+                XY = mm_q(Qc, Yc)
+                Qc = Qc - mm_q(jnp.matmul(XY, Sc, precision=_HI), Yc.T)
+                Q = Q.at[:, lam:].set(Qc.astype(q_dtype))
+            lam += 2 * r
+            continue
+
         panel = A[lam:, lam : lam + w]
 
         # CholeskyQR squares the panel's condition number; tall random
@@ -103,7 +180,7 @@ def _block_qr_traced(
         # matrix is square and ill-conditioned — its Gram breaks fp32
         # Cholesky.  Hybrid rule: any panel with aspect < 2 falls back to
         # the Householder panel (static per-panel decision, zero overhead).
-        pm = panel_method
+        pm = base_method
         if pm.startswith("cholqr") and (m - lam) < 2 * w:
             pm = "householder_pallas" if _on_tpu() else "householder"
 
@@ -172,6 +249,8 @@ def _block_qr_traced(
         if want_q:
             Qc = Q[:, lam:]
             Q = Q.at[:, lam:].set(right(Qc).astype(q_dtype))
+
+        lam += w
 
     R_full = jnp.triu(A.astype(policy.accum))
     return R_full, Q, B

@@ -222,11 +222,26 @@ def _dist_qr_local(
                 b2 if B_loc is not None else b_,
             )
 
+        # All but the final panel via the scan; the final panel is square
+        # (CholeskyQR-hostile) and runs one static step with Householder
+        # leaves — mirroring the single-chip hybrid rule.
         A_loc, Q_out, B_out = jax.lax.fori_loop(
-            0, n // r, panel_step_wrapped, carry0
+            0, n // r - 1, panel_step_wrapped, carry0
         )
         Q_loc = Q_out if Q_loc is not None else None
         B_loc = B_out if B_loc is not None else None
+        lam_last = n - r
+        Yl, Sl, _ = _panel_reflector(A_loc, lam_last, r, h, axis, "householder")
+        Gl = jax.lax.psum(mm_t(Yl.T, A_loc), axis)
+        A_loc = (A_loc - mm_t(Yl, jnp.matmul(Sl.T, Gl, precision=_HI))).astype(
+            A_loc.dtype
+        )
+        if B_loc is not None:
+            Gb = jax.lax.psum(mm_t(Yl.T, B_loc), axis)
+            B_loc = B_loc - mm_t(Yl, jnp.matmul(Sl.T, Gb, precision=_HI))
+        if Q_loc is not None:
+            QY = jax.lax.psum(mm_q(Q_loc.T, Yl), axis)
+            Q_loc = Q_loc - mm_q(Yl, jnp.matmul(QY, Sl, precision=_HI).T)
         # Zero sub-diagonal rounding residue (the unrolled path writes
         # exact zeros; here triu-mask locally by global row index).
         col = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
