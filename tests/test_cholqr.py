@@ -98,3 +98,13 @@ def test_cholqr_square_matrix_hybrid():
         rep = metrics.evaluate(A, Q, R, precision_bits=8)
         assert rep.backward < 0.05, (pm, str(rep))
         assert rep.all_ok, (pm, str(rep))
+
+
+def test_block_qr_cholqr1x2_paired_panels():
+    """Paired-panel method: two cholqr1 reflectors merged into one 2r-wide
+    block reflector; quality must match cholqr1."""
+    A = np.random.default_rng(9).random((384, 256)).astype(np.float32) - 0.5
+    Q, R = block_qr(A, block_size=64, policy=POLICY_MIXED, mode="complete",
+                    panel_method="cholqr1x2")
+    rep = metrics.evaluate(A, Q, R, precision_bits=8)
+    assert rep.all_ok, str(rep)
