@@ -517,11 +517,12 @@ def qr(
     policy: DTypePolicy = POLICY_FP32,
     mode: str = "reduced",
 ):
-    """Main entry: dispatches unblocked for narrow problems, blocked otherwise."""
+    """Main entry: dispatches unblocked for narrow/wide problems, blocked
+    otherwise.  Wide matrices (m < n) go through the unblocked path, matching
+    the reference's ``householder_qr`` semantics (``python/qr.py:26``):
+    Q is (m, k) / (m, m) and R is (k, n) / (m, n) with k = min(m, n)."""
     A = jnp.asarray(A)
     m, n = A.shape
     if n <= 8 or m < n:
-        if m < n:
-            raise ValueError(f"qr requires m >= n, got {A.shape}")
         return householder_qr(A.astype(policy.panel), mode=mode, dtype=policy.panel)
     return block_qr(A, block_size=block_size, policy=policy, mode=mode)

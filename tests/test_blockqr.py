@@ -107,8 +107,14 @@ def test_qr_dispatcher():
     Q, R = qr(A)
     assert Q.shape == (40, 6)
     assert float(metrics.backward_error(jnp.asarray(A), Q, R)) < 1e-6
+    # Wide matrices route through the unblocked path (reference semantics).
+    Aw = _rand(4, 8, seed=7)
+    Qw, Rw = qr(Aw, mode="complete")
+    assert Qw.shape == (4, 4) and Rw.shape == (4, 8)
+    assert float(metrics.backward_error(jnp.asarray(Aw), Qw, Rw)) < 1e-6
+    # block_qr itself still requires m >= n.
     with pytest.raises(ValueError):
-        qr(_rand(4, 8))
+        block_qr(Aw)
 
 
 def test_block_qr_r_only_mode():
