@@ -94,6 +94,33 @@ def _back_substitution(
     return x[:, 0] if squeeze else x
 
 
+def lstsq_batched(
+    A_batch,
+    b_batch,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    policy: DTypePolicy = POLICY_FP32,
+):
+    """Batched least squares over a leading batch axis (vmap; shard the
+    batch over a mesh for DP serving — see parallel/batched.py)."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _jitted_driver
+
+    A_batch = jnp.asarray(A_batch, dtype=jnp.float32)
+    b_batch = jnp.asarray(b_batch, dtype=jnp.float32)
+    if b_batch.ndim == 2:
+        b_batch = b_batch[:, :, None]
+    n = A_batch.shape[2]
+    fn = _jitted_driver(block_size, policy, False, True)
+
+    @jax.jit
+    def run(As, bs):
+        R_full, _, qtb = jax.vmap(fn)(As, bs)
+        return jax.vmap(
+            lambda R, q: _back_substitution(R[:n, :], q[:n, :])
+        )(R_full, qtb.astype(jnp.float32))
+
+    return run(A_batch, b_batch)[:, :, 0]
+
+
 def lstsq(
     A,
     b,

@@ -109,3 +109,14 @@ def test_ill_conditioned_sensitivity():
     x1 = np.asarray(lstsq(A2, y, block_size=2))
     # amplification well above the perturbation scale
     assert np.linalg.norm(x0 - x1) > 10 * 1e-4
+
+
+def test_lstsq_batched():
+    from mixedprecisionblockqr_tpu.models.lstsq import lstsq_batched
+
+    rng = np.random.default_rng(7)
+    A = rng.random((4, 80, 32)).astype(np.float32)
+    xt = rng.random((4, 32)).astype(np.float32)
+    b = np.einsum("bmn,bn->bm", A, xt)
+    X = np.asarray(lstsq_batched(A, b, block_size=16))
+    np.testing.assert_allclose(X, xt, atol=5e-3)
