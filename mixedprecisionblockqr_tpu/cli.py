@@ -312,6 +312,12 @@ def main(argv: Optional[list] = None) -> int:
         prog="mixedprecisionblockqr_tpu",
         description="TPU-native mixed-precision block QR",
     )
+    parser.add_argument(
+        "--platform",
+        choices=["cpu", "tpu"],
+        help="force the JAX backend (the environment may override "
+        "JAX_PLATFORMS; this flag always wins)",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("qr", help="factor one matrix, report error metrics")
@@ -373,6 +379,12 @@ def main(argv: Optional[list] = None) -> int:
     p.set_defaults(fn=cmd_plot)
 
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", "cpu" if args.platform == "cpu" else "tpu,cpu"
+        )
     return args.fn(args)
 
 
