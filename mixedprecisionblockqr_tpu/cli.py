@@ -86,6 +86,15 @@ def cmd_qr(args) -> int:
     return 0 if rep.all_ok else 1
 
 
+def _platform_tag() -> str:
+    import jax
+
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
 def cmd_bench(args) -> int:
     import jax.numpy as jnp
 
@@ -125,7 +134,8 @@ def cmd_bench(args) -> int:
             sec = time_step_amortized(step, A, iters=args.iters)
         tflops = qr_flops(s, s) / sec / 1e12
         logger.write_csv(
-            f"tpu_block_{args.policy}", s, s, sec, qr_flops(s, s), rep.backward
+            f"{_platform_tag()}_block_{args.policy}", s, s, sec,
+            qr_flops(s, s), rep.backward,
         )
         print(
             json.dumps(

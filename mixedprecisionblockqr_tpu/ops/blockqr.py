@@ -403,6 +403,11 @@ def block_qr(
     A = jnp.asarray(A)
     if A.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
         A = A.astype(policy.panel)
+    if jnp.dtype(policy.panel) == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "POLICY_FP64 requires jax_enable_x64 "
+            "(jax.config.update('jax_enable_x64', True))"
+        )
     m, n = A.shape
     if m < n:
         raise ValueError(f"block_qr requires m >= n, got {A.shape}")

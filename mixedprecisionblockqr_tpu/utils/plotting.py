@@ -28,7 +28,17 @@ def plot_logs(
 
     Returns the list of files written.
     """
-    labels = list(labels or [os.path.splitext(os.path.basename(p))[0] for p in log_paths])
+    if labels is None:
+        labels = [os.path.splitext(os.path.basename(p))[0] for p in log_paths]
+        if len(set(labels)) != len(labels):
+            # Same basename from different dirs (e.g. tpu vs cpu runs):
+            # disambiguate with the parent directory.
+            labels = [
+                f"{os.path.basename(os.path.dirname(os.path.abspath(p))) or '.'}/"
+                f"{os.path.splitext(os.path.basename(p))[0]}"
+                for p in log_paths
+            ]
+    labels = list(labels)
     series = {lab: _series(p) for lab, p in zip(labels, log_paths)}
     os.makedirs(out_dir, exist_ok=True)
     written: List[str] = []
