@@ -127,12 +127,17 @@ def lstsq(
     block_size: int = DEFAULT_BLOCK_SIZE,
     policy: DTypePolicy = POLICY_FP32,
     method: str = "blocked",
+    refine_steps: int = 0,
 ):
     """Minimize ||A x - b||_2 via QR (the reference's
     ``linear_least_square``, ``python/linear_least_sqare.py:5-22``).
 
     method='blocked': block QR with b threaded through (no explicit Q).
     method='tsqr': TSQR path for very tall A (m >> n).
+    refine_steps: iterative-refinement sweeps (solve A dx = r on the SAME
+        factorization, x += dx) — recovers solution accuracy on
+        ill-conditioned systems where a single fp32/mixed solve is
+        kappa-limited; costs one Q^T-apply + triangular solve per sweep.
     """
     A = jnp.asarray(A, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
@@ -140,6 +145,25 @@ def lstsq(
     if method == "tsqr":
         Q, R = tsqr(A)
         qtb = jnp.matmul(Q.T, b, precision=_HI)
-        return back_substitution(R, qtb)
+        x = back_substitution(R, qtb)
+        for _ in range(refine_steps):
+            r = b - jnp.matmul(A, x, precision=_HI)
+            dx = back_substitution(R, jnp.matmul(Q.T, r, precision=_HI))
+            x = x + dx
+        return x
+    if refine_steps > 0:
+        # Refinement needs a REUSABLE implicit Q: factor once with the
+        # stored-factor CAQR path (apply_qt replays the factors per sweep).
+        from mixedprecisionblockqr_tpu.parallel.caqr import apply_qt, caqr_factor
+
+        factors, Rc = caqr_factor(A, block_size=min(block_size, max(n // 2, 1)))
+        squeeze = b.ndim == 1
+        bc = b[:, None] if squeeze else b
+        x = back_substitution(Rc, apply_qt(factors, bc)[:n, :])
+        for _ in range(refine_steps):
+            r = bc - jnp.matmul(A, x, precision=_HI)
+            x = x + back_substitution(Rc, apply_qt(factors, r)[:n, :])
+        return x[:, 0] if squeeze else x
     R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy)
-    return back_substitution(R, qtb[:n] if qtb.ndim == 1 else qtb[:n, :])
+    Rn = R[:n, :] if R.shape[0] >= n else R
+    return back_substitution(Rn, qtb[:n] if qtb.ndim == 1 else qtb[:n, :])

@@ -120,3 +120,16 @@ def test_lstsq_batched():
     b = np.einsum("bmn,bn->bm", A, xt)
     X = np.asarray(lstsq_batched(A, b, block_size=16))
     np.testing.assert_allclose(X, xt, atol=5e-3)
+
+
+def test_lstsq_iterative_refinement():
+    """Refinement sweeps recover accuracy on a conditioned system."""
+    A = conditioned_matrix(96, 1e5, seed=9).astype(np.float32)
+    rng = np.random.default_rng(10)
+    xt = rng.random(96).astype(np.float32)
+    b = (A.astype(np.float64) @ xt).astype(np.float32)
+    x0 = np.asarray(lstsq(A, b, block_size=32))
+    x2 = np.asarray(lstsq(A, b, block_size=32, refine_steps=2))
+    e0 = np.linalg.norm(x0 - xt)
+    e2 = np.linalg.norm(x2 - xt)
+    assert e2 < e0 * 0.5, (e0, e2)
