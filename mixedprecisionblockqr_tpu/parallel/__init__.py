@@ -7,6 +7,6 @@ tree, executed across a ``jax.sharding.Mesh`` via XLA collectives inside
 ``shard_map`` (ICI, not DCN).
 """
 
-from mixedprecisionblockqr_tpu.parallel import mesh, tsqr, caqr
+from mixedprecisionblockqr_tpu.parallel import batched, caqr, dist_qr, dist_qr2d, mesh, tsqr
 
-__all__ = ["mesh", "tsqr", "caqr"]
+__all__ = ["batched", "caqr", "dist_qr", "dist_qr2d", "mesh", "tsqr"]

@@ -1,0 +1,204 @@
+"""2-D sharded blocked QR: rows x cols device mesh (SURVEY §7.7).
+
+Extends the 1-D row-sharded driver (``dist_qr.py``) to matrices sharded over
+BOTH dimensions — ``P('rows', 'cols')`` — the layout for problems whose
+columns don't fit one device's HBM or whose trailing updates should scale
+over a second ICI axis (tensor-parallel analog):
+
+  * the panel lives on ONE column shard; its owner column factors it by
+    row-sharded TSQR exactly as in 1-D (one (r x r)-blocks ``all_gather``
+    over ``rows``),
+  * the resulting block-reflector pieces (Y rows, S^-1, R_panel) are
+    **broadcast along ``cols``** with a masked ``psum`` — the
+    "column-broadcast of (W/T)" step of the survey's plan,
+  * every device then updates its own trailing block with ONE ``psum`` over
+    ``rows`` of the (r x n_loc) partial products — communication never
+    leaves the two mesh axes.
+
+Scope: R and Q^T b (the least-squares path). Full-Q accumulation at 2-D
+scale is planned; use the 1-D driver (column-sharded Q) when Q is needed.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32, matmul
+from mixedprecisionblockqr_tpu.parallel.dist_qr import _panel_reflector_cols
+from mixedprecisionblockqr_tpu.parallel.mesh import BATCH_AXIS, ROWS_AXIS
+
+_HI = jax.lax.Precision.HIGHEST
+
+COLS_AXIS = "cols"
+
+
+def _dist2d_local(
+    A_loc: jax.Array,
+    B_loc,
+    *,
+    m: int,
+    n: int,
+    block_size: int,
+    rows_axis: str,
+    cols_axis: str,
+    policy: DTypePolicy,
+    panel_method: str,
+):
+    h, wc = A_loc.shape                       # local (m/dr, n/dc) block
+    r = min(block_size, n)
+    if wc % r != 0:
+        raise ValueError(
+            f"block_size {r} must divide per-device columns {wc}"
+        )
+    my_col = jax.lax.axis_index(cols_axis)
+    glob_rows = (
+        jax.lax.axis_index(rows_axis) * h
+        + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
+    )
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+
+    for lam in range(0, n, r):
+        w = min(r, n - lam)
+        j0, loc_col = lam // wc, lam % wc     # owner column shard + offset
+
+        # --- panel factorization on the owner column (row-sharded TSQR),
+        # other columns contribute zeros; results are broadcast over `cols`
+        # by a masked psum.
+        pm = panel_method
+        if pm == "cholqr2" and (m - lam) < 2 * w:
+            pm = "householder"
+        P_cols = jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, w))
+        P_cols = jnp.where(my_col == j0, P_cols, 0.0)
+        Y, Sinv, R_pan = _panel_reflector_cols(
+            P_cols, lam, w, h, rows_axis, pm
+        )
+        Y = jax.lax.psum(
+            jnp.where(my_col == j0, Y, jnp.zeros_like(Y)), cols_axis
+        )
+        Sinv = jax.lax.psum(
+            jnp.where(my_col == j0, Sinv, jnp.zeros_like(Sinv)), cols_axis
+        )
+        R_pan = jax.lax.psum(
+            jnp.where(my_col == j0, R_pan, jnp.zeros_like(R_pan)), cols_axis
+        )
+
+        # --- write the panel result into the owner column's shard.
+        idx = jnp.clip(glob_rows - lam, 0, w - 1)
+        rvals = R_pan[idx, :]
+        in_band = (glob_rows >= lam) & (glob_rows < lam + w)
+        pan_new = jnp.where(
+            in_band[:, None],
+            rvals,
+            jnp.where((glob_rows >= lam + w)[:, None], 0.0, P_cols),
+        )
+        owner_write = jnp.where(
+            my_col == j0,
+            pan_new,
+            jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, w)),
+        )
+        A_loc = jax.lax.dynamic_update_slice(
+            A_loc, owner_write.astype(A_loc.dtype), (0, loc_col)
+        )
+
+        # --- trailing update on EVERY column shard: columns right of the
+        # panel only (masked locally by global column index).
+        glob_cols = my_col * wc + jax.lax.broadcasted_iota(
+            jnp.int32, (1, wc), 1
+        )[0]
+        trail_mask = (glob_cols >= lam + w)[None, :]
+        C = jnp.where(trail_mask, A_loc, 0.0)
+        G = jax.lax.psum(mm_t(Y.T, C), rows_axis)      # (w, wc) per col shard
+        M = jnp.matmul(Sinv.T, G, precision=_HI)
+        A_loc = jnp.where(
+            trail_mask, (A_loc - mm_t(Y, M)).astype(A_loc.dtype), A_loc
+        )
+
+        if B_loc is not None:
+            Gb = jax.lax.psum(mm_t(Y.T, B_loc), rows_axis)
+            B_loc = B_loc - mm_t(Y, jnp.matmul(Sinv.T, Gb, precision=_HI))
+
+    # Zero sub-diagonal residue using global indices.
+    gc = jax.lax.axis_index(cols_axis) * wc + jax.lax.broadcasted_iota(
+        jnp.int32, (h, wc), 1
+    )
+    A_loc = jnp.where(gc >= glob_rows[:, None], A_loc, 0.0)
+    return A_loc, B_loc
+
+
+_MESHES2D = {}
+
+
+def _mesh_key(mesh: Mesh):
+    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
+    _MESHES2D[key] = mesh
+    return key
+
+
+@lru_cache(maxsize=None)
+def _jitted_2d(m, n, block_size, policy, with_b, rows_axis, cols_axis, key,
+               panel_method):
+    mesh = _MESHES2D[key]
+
+    def fn(A, B):
+        A_out, B_out = _dist2d_local(
+            A,
+            B if with_b else None,
+            m=m, n=n, block_size=block_size, rows_axis=rows_axis,
+            cols_axis=cols_axis, policy=policy, panel_method=panel_method,
+        )
+        return A_out, (B_out if with_b else jnp.zeros((1, 1), A_out.dtype))
+
+    sm = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(rows_axis, cols_axis), P(rows_axis, None)),
+        out_specs=(P(rows_axis, cols_axis),
+                   P(rows_axis, None) if with_b else P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def dist_block_qr_2d(
+    A,
+    mesh: Mesh,
+    block_size: int = 128,
+    policy: DTypePolicy = POLICY_FP32,
+    rows_axis: str = ROWS_AXIS,
+    cols_axis: str = COLS_AXIS,
+    b=None,
+    panel_method: str = "householder",
+):
+    """2-D sharded blocked QR (R-only, optional Q^T b).
+
+    A is sharded ``P(rows_axis, cols_axis)`` over the 2-D mesh; returns
+    (R (n x n) replicated[, Q^T b row-sharded]).
+    """
+    A = jnp.asarray(A, dtype=policy.panel)
+    m, n = A.shape
+    dr, dc = mesh.shape[rows_axis], mesh.shape[cols_axis]
+    if m % dr or n % dc:
+        raise ValueError(f"shape {A.shape} must divide over mesh ({dr},{dc})")
+    with_b = b is not None
+    A = jax.device_put(A, NamedSharding(mesh, P(rows_axis, cols_axis)))
+    B = (
+        jnp.asarray(b, policy.accum).reshape(m, -1)
+        if with_b
+        else jnp.zeros((m, 1), policy.accum)
+    )
+    B = jax.device_put(B, NamedSharding(mesh, P(rows_axis, None)))
+    fn = _jitted_2d(
+        m, n, block_size, policy, with_b, rows_axis, cols_axis,
+        _mesh_key(mesh), panel_method,
+    )
+    A_out, B_out = fn(A, B)
+    rep = NamedSharding(mesh, P())
+    R = jax.jit(lambda x: jnp.triu(x[:n, :]), out_shardings=rep)(A_out)
+    if with_b:
+        return R, jax.device_put(B_out, rep)
+    return R

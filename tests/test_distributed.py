@@ -157,3 +157,44 @@ def test_dist_qr_scan_lstsq(mesh):
                            loop_mode="scan")
     x = np.asarray(back_substitution(R[:64, :], qtb[:64, 0]))
     np.testing.assert_allclose(x, xt, atol=5e-3)
+
+
+def test_dist_qr_2d_mesh():
+    """2-D (rows x cols) sharded QR — SURVEY §7.7's plan: TSQR panel over
+    rows, column-broadcast of the reflector, trailing updates local+psum."""
+    from mixedprecisionblockqr_tpu.parallel.dist_qr2d import (
+        COLS_AXIS,
+        dist_block_qr_2d,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+
+    mesh2d = make_mesh((4, 2), (ROWS_AXIS, COLS_AXIS))
+    rng = np.random.default_rng(11)
+    A = rng.random((256, 128)).astype(np.float32)
+    xt = rng.random(128).astype(np.float32)
+    b = A @ xt
+    R, qtb = dist_block_qr_2d(A, mesh2d, block_size=32, b=b)
+    Rn = np.asarray(R)
+    assert np.allclose(np.tril(Rn, -1), 0)
+    Rref = np.linalg.qr(A)[1]
+    np.testing.assert_allclose(
+        np.abs(np.diag(Rn[:128])), np.abs(np.diag(Rref)), rtol=1e-3
+    )
+    x = np.asarray(back_substitution(Rn[:128, :], np.asarray(qtb)[:128, 0]))
+    np.testing.assert_allclose(x, xt, atol=1e-3)
+
+
+def test_dist_qr_2d_cholqr_panels():
+    from mixedprecisionblockqr_tpu.parallel.dist_qr2d import (
+        COLS_AXIS,
+        dist_block_qr_2d,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+
+    mesh2d = make_mesh((2, 4), (ROWS_AXIS, COLS_AXIS))
+    A = np.random.default_rng(12).random((128, 64)).astype(np.float32)
+    R = dist_block_qr_2d(A, mesh2d, block_size=16, panel_method="cholqr2")
+    Rref = np.linalg.qr(A)[1]
+    np.testing.assert_allclose(
+        np.abs(np.diag(np.asarray(R)[:64])), np.abs(np.diag(Rref)), rtol=1e-2
+    )
