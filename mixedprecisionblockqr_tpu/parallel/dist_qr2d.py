@@ -15,8 +15,10 @@ over a second ICI axis (tensor-parallel analog):
     ``rows`` of the (r x n_loc) partial products — communication never
     leaves the two mesh axes.
 
-Scope: R and Q^T b (the least-squares path). Full-Q accumulation at 2-D
-scale is planned; use the 1-D driver (column-sharded Q) when Q is needed.
+Q accumulation stores Q^T sharded ``P('rows', 'cols')``: its update
+``Q^T <- Q^T - Y S^-T (Y^T Q^T)`` has exactly the trailing-update pattern
+(one ``psum`` over ``rows`` per panel), so full Q costs the same collective
+structure as R.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ COLS_AXIS = "cols"
 def _dist2d_local(
     A_loc: jax.Array,
     B_loc,
+    Qt_loc,
     *,
     m: int,
     n: int,
@@ -122,12 +125,19 @@ def _dist2d_local(
             Gb = jax.lax.psum(mm_t(Y.T, B_loc), rows_axis)
             B_loc = B_loc - mm_t(Y, jnp.matmul(Sinv.T, Gb, precision=_HI))
 
+        if Qt_loc is not None:
+            # Q^T <- H^T Q^T: same one-psum pattern as the trailing update.
+            Gq = jax.lax.psum(mm_t(Y.T, Qt_loc), rows_axis)
+            Qt_loc = Qt_loc - mm_t(
+                Y, jnp.matmul(Sinv.T, Gq, precision=_HI)
+            )
+
     # Zero sub-diagonal residue using global indices.
     gc = jax.lax.axis_index(cols_axis) * wc + jax.lax.broadcasted_iota(
         jnp.int32, (h, wc), 1
     )
     A_loc = jnp.where(gc >= glob_rows[:, None], A_loc, 0.0)
-    return A_loc, B_loc
+    return A_loc, B_loc, Qt_loc
 
 
 _MESHES2D = {}
@@ -140,25 +150,32 @@ def _mesh_key(mesh: Mesh):
 
 
 @lru_cache(maxsize=None)
-def _jitted_2d(m, n, block_size, policy, with_b, rows_axis, cols_axis, key,
-               panel_method):
+def _jitted_2d(m, n, block_size, policy, with_b, want_q, rows_axis,
+               cols_axis, key, panel_method):
     mesh = _MESHES2D[key]
 
-    def fn(A, B):
-        A_out, B_out = _dist2d_local(
+    def fn(A, B, Qt):
+        A_out, B_out, Qt_out = _dist2d_local(
             A,
             B if with_b else None,
+            Qt if want_q else None,
             m=m, n=n, block_size=block_size, rows_axis=rows_axis,
             cols_axis=cols_axis, policy=policy, panel_method=panel_method,
         )
-        return A_out, (B_out if with_b else jnp.zeros((1, 1), A_out.dtype))
+        return (
+            A_out,
+            B_out if with_b else jnp.zeros((1, 1), A_out.dtype),
+            Qt_out if want_q else jnp.zeros((1, 1), A_out.dtype),
+        )
 
     sm = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(rows_axis, cols_axis), P(rows_axis, None)),
+        in_specs=(P(rows_axis, cols_axis), P(rows_axis, None),
+                  P(rows_axis, cols_axis)),
         out_specs=(P(rows_axis, cols_axis),
-                   P(rows_axis, None) if with_b else P(None, None)),
+                   P(rows_axis, None) if with_b else P(None, None),
+                   P(rows_axis, cols_axis) if want_q else P(None, None)),
         check_vma=False,
     )
     return jax.jit(sm)
@@ -173,11 +190,14 @@ def dist_block_qr_2d(
     cols_axis: str = COLS_AXIS,
     b=None,
     panel_method: str = "householder",
+    mode: str = "r",
 ):
-    """2-D sharded blocked QR (R-only, optional Q^T b).
+    """2-D sharded blocked QR.
 
-    A is sharded ``P(rows_axis, cols_axis)`` over the 2-D mesh; returns
-    (R (n x n) replicated[, Q^T b row-sharded]).
+    A is sharded ``P(rows_axis, cols_axis)`` over the 2-D mesh.
+    mode='r' returns R (n x n, replicated)[, Q^T b]; mode='complete'
+    returns (Qt, R)[, Q^T b] where Qt = Q^T stays 2-D sharded (transpose
+    locally or reshard as needed).
     """
     A = jnp.asarray(A, dtype=policy.panel)
     m, n = A.shape
@@ -192,13 +212,25 @@ def dist_block_qr_2d(
         else jnp.zeros((m, 1), policy.accum)
     )
     B = jax.device_put(B, NamedSharding(mesh, P(rows_axis, None)))
+    want_q = mode == "complete"
+    # Q^T starts as the identity (want_q) or a minimal placeholder that
+    # still satisfies the in_spec's divisibility over the mesh.
+    Qt0 = jax.device_put(
+        jnp.eye(m, dtype=policy.accum)
+        if want_q
+        else jnp.zeros((dr, dc), policy.accum),
+        NamedSharding(mesh, P(rows_axis, cols_axis)),
+    )
     fn = _jitted_2d(
-        m, n, block_size, policy, with_b, rows_axis, cols_axis,
+        m, n, block_size, policy, with_b, want_q, rows_axis, cols_axis,
         _mesh_key(mesh), panel_method,
     )
-    A_out, B_out = fn(A, B)
+    A_out, B_out, Qt_out = fn(A, B, Qt0)
     rep = NamedSharding(mesh, P())
     R = jax.jit(lambda x: jnp.triu(x[:n, :]), out_shardings=rep)(A_out)
+    outs = [R]
+    if want_q:
+        outs.insert(0, Qt_out)
     if with_b:
-        return R, jax.device_put(B_out, rep)
-    return R
+        outs.append(jax.device_put(B_out, rep))
+    return tuple(outs) if len(outs) > 1 else outs[0]

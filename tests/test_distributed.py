@@ -198,3 +198,21 @@ def test_dist_qr_2d_cholqr_panels():
     np.testing.assert_allclose(
         np.abs(np.diag(np.asarray(R)[:64])), np.abs(np.diag(Rref)), rtol=1e-2
     )
+
+
+def test_dist_qr_2d_complete_q():
+    from mixedprecisionblockqr_tpu.parallel.dist_qr2d import (
+        COLS_AXIS,
+        dist_block_qr_2d,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+
+    mesh2d = make_mesh((4, 2), (ROWS_AXIS, COLS_AXIS))
+    A = np.random.default_rng(13).random((256, 128)).astype(np.float32)
+    Qt, R = dist_block_qr_2d(A, mesh2d, block_size=32, mode="complete")
+    Qn = np.asarray(Qt).T
+    Rfull = np.vstack([np.asarray(R), np.zeros((128, 128), np.float32)])
+    assert (
+        np.linalg.norm(A - Qn @ Rfull) / np.linalg.norm(A) < 1e-5
+    )
+    assert np.abs(Qn.T @ Qn - np.eye(256)).max() < 1e-5
