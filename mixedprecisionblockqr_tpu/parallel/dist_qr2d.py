@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32, matmul
 from mixedprecisionblockqr_tpu.parallel.dist_qr import _panel_reflector_cols
-from mixedprecisionblockqr_tpu.parallel.mesh import BATCH_AXIS, ROWS_AXIS
+from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
 
 _HI = jax.lax.Precision.HIGHEST
 
