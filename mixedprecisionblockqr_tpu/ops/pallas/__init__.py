@@ -5,7 +5,8 @@ kernel layer (L1, ``Cuda/mmult.cu``/``mmult.cuh``; WY kernels in
 Kernels run compiled on TPU and in interpreter mode on CPU (tests).
 """
 
+from mixedprecisionblockqr_tpu.ops.pallas.chol import chol_rinv
 from mixedprecisionblockqr_tpu.ops.pallas.gemm import tiled_matmul
 from mixedprecisionblockqr_tpu.ops.pallas.panel import panel_factor_fused
 
-__all__ = ["tiled_matmul", "panel_factor_fused"]
+__all__ = ["chol_rinv", "tiled_matmul", "panel_factor_fused"]
