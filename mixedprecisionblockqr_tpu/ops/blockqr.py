@@ -79,10 +79,15 @@ def _block_qr_traced(
     panel_method:
       * 'householder' — GVL reflector loop (robust; exact reference
         semantics); applications use the compact-WY (V, T) factors.
-      * 'cholqr2' / 'cholqr2s' — (shifted) CholeskyQR2 panel: all-GEMM,
-        rides the MXU; applications use the Yamamoto block reflector
-        (Y, Sinv).  ~5x faster end-to-end on TPU, conditional on panel
-        conditioning (see ops/cholqr.py).
+      * 'cholqr1' / 'cholqr2' / 'cholqr2s' — (1-pass / 2-pass / shifted)
+        CholeskyQR panel: all-GEMM, rides the MXU; applications use the
+        Yamamoto block reflector (Y, Sinv) with a Newton-Schulz S-inverse.
+        cholqr1 is 15-20x faster than the reflector loop at 2048^2
+        (BENCH_NOTES.md); low-aspect panels auto-fall back to Householder
+        (hybrid rule below).
+      * 'cholqr1x2' — paired panels merged into one 2r-wide reflector
+        (fewer large GEMMs; measured neutral-to-slower at 2048 — kept for
+        wider-panel experimentation).
     """
     m, n = A.shape
     r = min(block_size, n)
