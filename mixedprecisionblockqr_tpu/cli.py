@@ -49,14 +49,18 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
         p.add_argument("--cond", type=float, help="target condition number")
         p.add_argument("--seed", type=int, default=0)
     p.add_argument("--policy", default="mixed",
-                   choices=["fp32", "mixed", "bf16", "fp64"])
+                   choices=["fp32", "mixed", "mixed_fast", "bf16", "fp64"])
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument(
         "--panel-method",
         default="householder",
         choices=["householder", "householder_pallas", "cholqr1", "cholqr2",
-                 "cholqr2s"],
+                 "cholqr2s", "cholqr1x2", "polar", "bgs", "bgs1"],
     )
+    p.add_argument("--loop-mode", default="unroll",
+                   choices=["unroll", "scan"],
+                   help="scan = one compiled panel step (fast compile at "
+                        "large n/r, ~2-3x slower runtime)")
     p.add_argument("--log-dir", default="log")
 
 
@@ -74,7 +78,7 @@ def cmd_qr(args) -> int:
     t0 = time.perf_counter()
     Q, R = block_qr(
         a, block_size=args.block_size, policy=policy, mode="complete",
-        panel_method=args.panel_method,
+        panel_method=args.panel_method, loop_mode=args.loop_mode,
     )
     rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
     dt = time.perf_counter() - t0  # includes compile; see `bench` for rates
@@ -115,14 +119,33 @@ def cmd_bench(args) -> int:
         Q, R = block_qr(
             A, block_size=min(args.block_size, s), policy=policy,
             mode="complete", panel_method=args.panel_method,
+            loop_mode=args.loop_mode,
         )
         rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
 
-        def step(x, s=s):
-            R_full, Qc, _ = _block_qr_traced(
-                x, min(args.block_size, s), policy, True, None,
-                args.panel_method,
-            )
+        from mixedprecisionblockqr_tpu.ops.blockqr import (
+            _block_qr_scan,
+            _on_tpu,
+        )
+
+        use_scan = (
+            args.loop_mode == "scan"
+            and s % min(args.block_size, s) == 0
+            and args.panel_method.startswith("cholqr")
+            and s > args.block_size
+        )
+
+        def step(x, s=s, use_scan=use_scan):
+            if use_scan:
+                R_full, Qc, _ = _block_qr_scan(
+                    x, min(args.block_size, s), policy, True, None,
+                    args.panel_method,
+                )
+            else:
+                R_full, Qc, _ = _block_qr_traced(
+                    x, min(args.block_size, s), policy, True, None,
+                    args.panel_method, _on_tpu(),
+                )
             return x * (1.0 + 1e-12 * R_full[0, 0])
 
         if args.profile_dir:
@@ -195,10 +218,15 @@ def cmd_suite(args) -> int:
         dt = time.perf_counter() - t0
         logger.write_csv(name, a.shape[0], a.shape[1], dt,
                          qr_flops(*a.shape), rep.backward)
-        status = "ok" if rep.all_ok else "FAIL"
+        # Acceptance = reference 2^-bits*m criterion; the sqrt(m) tightness
+        # gate (ops/metrics.py::tight_limit) is the regression tripwire.
+        ok = rep.all_ok and (rep.tight_ok or not args.strict)
+        status = "ok" if ok else (
+            "FAIL" if not rep.all_ok else "FAIL-tight"
+        )
         print(f"{name} {a.shape[0]}x{a.shape[1]} r={r}: "
               f"err={rep.backward:.3e} [{status}]")
-        failures += 0 if rep.all_ok else 1
+        failures += 0 if ok else 1
 
     rng = np.random.default_rng(0)
     table = STATIC_QR_SIZES if not args.quick else STATIC_QR_SIZES[:8]
@@ -256,10 +284,18 @@ def cmd_dist(args) -> int:
     a = _load_matrix(args)
     mesh = make_mesh()
     policy = policy_by_name(args.policy)
+    if args.panel_method not in ("householder", "cholqr2"):
+        # Error instead of silently coercing (round-1 VERDICT CLI drift):
+        # the distributed leaf factorization supports exactly these two.
+        print(
+            f"error: dist supports --panel-method householder|cholqr2, "
+            f"got {args.panel_method!r}",
+            file=sys.stderr,
+        )
+        return 2
     Q, R = dist_block_qr(
         a, mesh, block_size=args.block_size, policy=policy, mode="complete",
-        panel_method=args.panel_method if args.panel_method in
-        ("householder", "cholqr2") else "householder",
+        panel_method=args.panel_method,
         loop_mode=args.loop_mode,
     )
     rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
@@ -349,7 +385,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="skip shapes already present in the CSV logs")
     p.add_argument("--log-dir", default="log")
-    p.set_defaults(fn=cmd_suite)
+    p.add_argument("--no-strict", dest="strict", action="store_false",
+                   help="disable the 2^-bits*sqrt(m) tightness gate "
+                        "(acceptance criterion only)")
+    p.set_defaults(fn=cmd_suite, strict=True)
 
     p = sub.add_parser("solve", help="QR least-squares solve")
     _common_flags(p)
@@ -361,8 +400,7 @@ def main(argv: Optional[list] = None) -> int:
     p.set_defaults(fn=cmd_dataset)
 
     p = sub.add_parser("dist", help="distributed QR over all devices")
-    _common_flags(p)
-    p.add_argument("--loop-mode", default="unroll", choices=["unroll", "scan"])
+    _common_flags(p)  # includes --loop-mode
     p.set_defaults(fn=cmd_dist)
 
     p = sub.add_parser("tsqr-bench", help="tall-skinny QR benchmark")
@@ -370,7 +408,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--leaves", type=int, default=8)
     p.add_argument("--method", default="cholqr2",
-                   choices=["householder", "cholqr2"])
+                   choices=["householder", "cholqr2", "cholqr2s"])
     p.add_argument("--iters", type=int, default=16)
     p.set_defaults(fn=cmd_tsqr_bench)
 

@@ -106,7 +106,8 @@ def lstsq_batched(
 
     A_batch = jnp.asarray(A_batch, dtype=jnp.float32)
     b_batch = jnp.asarray(b_batch, dtype=jnp.float32)
-    if b_batch.ndim == 2:
+    squeeze = b_batch.ndim == 2  # (batch, m) -> one RHS per problem
+    if squeeze:
         b_batch = b_batch[:, :, None]
     n = A_batch.shape[2]
     fn = _jitted_driver(block_size, policy, False, True)
@@ -118,7 +119,10 @@ def lstsq_batched(
             lambda R, q: _back_substitution(R[:n, :], q[:n, :])
         )(R_full, qtb.astype(jnp.float32))
 
-    return run(A_batch, b_batch)[:, :, 0]
+    x = run(A_batch, b_batch)
+    # Only squeeze the RHS axis we added; a (batch, m, k) input keeps all k
+    # solution columns.
+    return x[:, :, 0] if squeeze else x
 
 
 def lstsq(

@@ -44,8 +44,17 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # fp32 inputs need HIGHEST or Mosaic lowers the dot to a single bf16 MXU
+    # pass (~2^-8 accuracy), silently breaking the fp32 combos (same rule as
+    # ops/pallas/chol.py::_dot; bf16/int8 combos keep DEFAULT).
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if a_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     acc_ref[:] += jnp.dot(
-        a_ref[:], b_ref[:], preferred_element_type=acc_ref.dtype
+        a_ref[:], b_ref[:], preferred_element_type=acc_ref.dtype,
+        precision=precision,
     )
 
     @pl.when(k == n_k - 1)
@@ -128,8 +137,26 @@ def matmul_bf16_accum_f32(a, b, **kw):
 
 
 def matmul_int8_accum_i32(a, b, **kw):
-    """int8 x int8 -> int32 (reference: u8/s8 wmma combos,
+    """int8 x int8 -> int32 (reference: s8 wmma combo,
     ``Cuda/mmult.cuh:287-299``)."""
     return tiled_matmul(
         a.astype(jnp.int8), b.astype(jnp.int8), out_dtype=jnp.int32, **kw
     )
+
+
+def matmul_uint8_accum_i32(a, b, **kw):
+    """uint8 x uint8 -> int32 — the reference's unsigned wmma instantiation
+    (``test_template_tensorcore_mmult_tiled<unsigned char, ...>``,
+    ``Cuda/mmult.cuh:287-299``).  The MXU consumes s8; u8 operands are
+    lifted losslessly: with a' = a - 128 (s8) the product is
+    a b = (a' + 128)(b' + 128) = a'b' + 128(a'1 + 1b') + 128^2 k,
+    i.e. one s8 Pallas GEMM plus rank-1 row/column-sum corrections."""
+    a = jnp.asarray(a, jnp.uint8)
+    b = jnp.asarray(b, jnp.uint8)
+    k = a.shape[1]
+    a_s = (a.astype(jnp.int32) - 128).astype(jnp.int8)
+    b_s = (b.astype(jnp.int32) - 128).astype(jnp.int8)
+    core = tiled_matmul(a_s, b_s, out_dtype=jnp.int32, **kw)
+    row = jnp.sum(a_s.astype(jnp.int32), axis=1, keepdims=True)   # (m, 1)
+    col = jnp.sum(b_s.astype(jnp.int32), axis=0, keepdims=True)   # (1, n)
+    return core + 128 * (row + col) + 128 * 128 * k

@@ -1,0 +1,255 @@
+"""Newton-Schulz panel orthonormalization — the custom-call-free panel path.
+
+Why this exists (round-2 perf work): on TPU, XLA's ``cholesky`` and
+``solve_triangular`` lower to library custom calls costing ~14us + ~10us
+PER CALL at r=128 (measured on v5e; experiments/prof traces), and the
+blocked QR pays that pair once per panel: 15 panels x 24us = ~37% of the
+whole 2048^2 factorization.  Batching the calls does NOT help — the TPU
+custom call loops over the batch at the same per-item cost (measured:
+batched chol+solve of 15x128x128 = 362us/step, identical to 15 singles).
+A chained 128^3 HIGHEST-precision matmul costs only ~0.25us, so the panel
+factor is instead built from pure matmuls:
+
+**Triangular Newton-Schulz inverse Cholesky** (``tri_inv_chol``): iterate
+an UPPER-TRIANGULAR X toward ``X^T G X = I``:
+
+    E = I - X^T G X;  C = triu(E, 1) + diag(E)/2;  X <- X (I + C)
+
+C is the unique upper-triangular solution of ``C^T + C = E`` at M ~= I, so
+the update cancels E to first order and converges quadratically; on the
+diagonal the map reduces exactly to the Newton-Schulz scalar recurrence
+``lam <- lam (3 - lam)^2 / 4``.  Seeding with the Jacobi scaling
+``X0 = diag(G)^{-1/2}`` (plus a power-iteration spectral-norm guard) puts
+the spectrum in (0, 1], so every eigenvalue climbs monotonically to 1:
+measured iteration counts — 5 (panel aspect 16), 6-8 (aspect 2-4), 19 for
+the final square 128-block of a random 2048^2 at cond(G) = 2.4e5
+(experiments/tri_ns_check.py).
+
+Because X is triangular, the panel's R block is recovered WITHOUT any
+solve:  ``X^T G X = I  =>  X^{-1} = X^T G`` — one matmul, upper-triangular
+by construction.  So ``P = Q t`` with ``Q = P X`` orthonormal and
+``t = X^T G``: a complete CholeskyQR-class panel factorization with zero
+triangular library calls, zero Pallas, and a ~6-10us chained-GEMM cost.
+
+This is the TPU answer to the reference's per-panel host stall
+(``dev_mixed_precision_block_qr``'s CPU panel factor + memcpys,
+``Cuda/qr.cu:1049-1226``).
+
+Numerical domain: like CholeskyQR, the Gram squares the condition number —
+a fast path for panels with cond(P) well inside 1/sqrt(eps_f32) (the
+blocked driver's tail panels get extra iterations + a second refinement
+pass, CholeskyQR2-style).  The unconditionally robust panel remains
+'householder'.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _spectral_guard(M: jax.Array) -> jax.Array:
+    """Upper estimate of ||M||_2 via two power-iteration matvecs, x1.05."""
+    v1 = jnp.matmul(M, jnp.sum(M, axis=1, keepdims=True), precision=_HI)
+    v2 = jnp.matmul(M, v1, precision=_HI)
+    return 1.05 * jnp.linalg.norm(v2) / (jnp.linalg.norm(v1) + 1e-30)
+
+
+def tri_iters_for_aspect(aspect: float) -> int:
+    """Iteration count for ``tri_inv_chol`` by panel aspect (m/r).
+
+    Measured (experiments/tri_ns_check.py): residual < 1e-6 in 5 iters at
+    aspect 16 (cond(G) ~ 3), 6 at aspect 4-8, 8 at aspect 2.  One spare
+    iteration on top; in-context every iteration costs ~3 small-op slots
+    (~2us at r=128), so tall panels should not pay the worst case."""
+    if aspect >= 8:
+        return 6
+    if aspect >= 4:
+        return 7
+    return 9
+
+
+def tri_inv_chol(G: jax.Array, iters: int = 10, with_resid: bool = False):
+    """Upper-triangular X with ``X^T G X ~= I`` (X ~= chol(G)^{-1}), from
+    chained matmuls only.  G must be SPD (fp32).
+
+    ``with_resid`` also returns ``max|I - X^T G X|`` from the LAST
+    iteration's correction (one step behind the final X — a conservative
+    over-estimate, free to produce) so callers can arm a fallback: the
+    fixed iteration count covers a cond(G) budget, and panels of
+    CORRELATED data (e.g. the reference's positive-uniform test matrices
+    or SLAM Jacobians) can exceed it at any aspect."""
+    r = G.shape[0]
+    G = G.astype(jnp.float32)
+    I = jnp.eye(r, dtype=jnp.float32)
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diag(G), jnp.finfo(jnp.float32).tiny))
+    # M0 = D G D (correlation matrix), scaled into (0, 1] by the guard.
+    M0 = G * d[:, None] * d[None, :]
+    scale = jax.lax.rsqrt(_spectral_guard(M0))
+    X = jnp.diag(d * scale)
+    E = I
+    for _ in range(iters):
+        W = jnp.matmul(G, X, precision=_HI)
+        M = jnp.matmul(X.T, W, precision=_HI)
+        E = I - M
+        C = jnp.triu(E, 1) + jnp.diag(jnp.diag(E)) * 0.5
+        X = X + jnp.matmul(X, C, precision=_HI)
+    if with_resid:
+        return X, jnp.max(jnp.abs(E))
+    return X
+
+
+def tri_cholqr(
+    P: jax.Array,
+    iters: int = 10,
+    refine_iters: int = 0,
+    sign_fix: bool = True,
+    gram_precision=_HI,
+    check: bool = True,
+    return_resid: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """CholeskyQR-class panel factorization with no library calls on the
+    convergent path.
+
+    Returns (Qs, t, X) with ``P ~= Qs @ t``:
+      * ``Qs`` (m x r): orthonormal columns; with ``sign_fix``,
+        ``diag(Qs[:r]) <= 0`` (the Yamamoto convention keeping
+        ``S = I - Qs[:r]^T`` in the Newton-invertible domain, sigma in
+        [1, 2] — needed by the reflector drivers, skippable by the BGS
+        driver which builds no reflectors),
+      * ``t``  (r x r): upper-triangular (rows sign-flipped to match),
+      * ``X``  (r x r): the inverse factor, ``Qs = P @ X``.
+
+    ``refine_iters > 0`` adds a second CholeskyQR2-style pass on the
+    computed Q's Gram (cheap: its spectrum is already near 1), pushing
+    orthogonality to fp32 roundoff even at cond(G) ~ 1e5-class — used for
+    the blocked drivers' ill-conditioned tail panels.  ``gram_precision``
+    trades Gram accuracy for MXU passes (HIGH = 3-pass bf16, ~fp32/2^-14
+    class — enough for the mixed policy's 2^-8 noise floor).
+
+    ``check`` (default ON — correctness first): if the iteration's residual
+    exceeds 1e-4 — panels of CORRELATED columns can out-cond any fixed
+    iteration budget; the reference's own positive-uniform generator
+    (``h_generate_random_matrix``) produces exactly such panels, and the
+    silent failure mode is a garbage factorization — a ``lax.cond`` falls
+    back to the direct chol+solve_triangular inverse (the custom calls
+    execute only when taken).  A TPU ``lax.cond`` costs ~11 us, so the
+    blocked drivers instead pass ``check=False, return_resid=True`` and arm
+    ONE deferred whole-factorization fallback on the max residual
+    (``ops/blockqr.py``); the per-panel cond remains the safe default for
+    standalone callers.  ``return_resid`` appends the residual to the
+    returned tuple.
+    """
+    m, r = P.shape
+    G = jnp.matmul(P.T, P, precision=gram_precision)
+    X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+    if check:
+        def _direct(g):
+            L = jnp.linalg.cholesky(g)
+            return jax.scipy.linalg.solve_triangular(
+                L.T, jnp.eye(r, dtype=jnp.float32), lower=False
+            )
+
+        X = jax.lax.cond(resid < 1e-4, lambda g: X, _direct, G)
+    t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))  # X^{-1} = X^T G
+    if refine_iters > 0:
+        # CholeskyQR2-style second pass: the Gram of the EXPLICIT Q1 = P X
+        # (not X^T G X — only the fresh product captures the fp32 rounding
+        # committed in pass 1; the algebraic form plateaus at ~1e-4
+        # orthogonality on cond(G) ~ 1e5 blocks, the fresh one reaches
+        # fp32 roundoff like CholeskyQR2).
+        Q1f = jnp.matmul(P, X, precision=_HI)
+        M1 = jnp.matmul(Q1f.T, Q1f, precision=_HI)
+        X2 = _tri_refine(M1, refine_iters)
+        t = jnp.triu(
+            jnp.matmul(jnp.matmul(X2.T, M1, precision=_HI), t, precision=_HI)
+        )  # X2^{-1} (X^{-1}) — both upper-triangular
+        X = jnp.matmul(X, X2, precision=_HI)
+    if not sign_fix:
+        out = (jnp.matmul(P, X, precision=gram_precision), t, X)
+        return out + ((resid,) if return_resid else ())
+    Q1 = jnp.matmul(P[:r, :], X, precision=_HI)
+    D = jnp.where(jnp.diag(Q1) > 0, -1.0, 1.0).astype(jnp.float32)
+    Xs = X * D[None, :]
+    Qs = jnp.matmul(P, Xs, precision=_HI)
+    out = (Qs, D[:, None] * t, Xs)
+    return out + ((resid,) if return_resid else ())
+
+
+def tri_cholqr_robust(
+    P: jax.Array, sign_fix: bool = True
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shifted three-pass triangular-NS panel factorization for
+    ill-conditioned panels (the trailing-corner blocks of square
+    factorizations, cond(G) ~ 1e5-1e8 class).
+
+    Pass 1 factors the SHIFTED Gram ``G + s I`` with ``s = 1e-3 ||G||_2``
+    (power-iteration estimate) — capping pass-1's effective condition
+    number at ~1e3 so 14 iterations converge for ANY input.  (Fukaya et
+    al. 2020's ``11(mr + r^2) u ||G||`` shift targets double precision; in
+    fp32 that factor is ~0.18 — a near-||G|| shift that wrecks the scaling
+    of the composed factors.)  At convergence ``t1 = X1^T (G + s I)`` is
+    the inverse of X1 (X^T M X = I  =>  X^{-1} = X^T M), so
+    ``P = (P X1) t1`` is reconstruction-accurate even though Q1 = P X1 is
+    only approximately orthonormal (sigma(Q1)^2 = lam/(lam+s) >= ~1e-3/2 —
+    cond(Q1) <= ~45).  Passes 2-3 re-factor Q1's fresh Gram
+    (CholeskyQR3-style), absorbing the shift bias and reaching fp32
+    roundoff orthogonality for cond(P) up to the fp32 Gram noise floor
+    (~1e4-class; beyond that, use the Householder panel).
+
+    Returns (Qs, t, X) like ``tri_cholqr``.
+    """
+    m, r = P.shape
+    G = jnp.matmul(P.T, P, precision=_HI)
+    s = 1e-3 * _spectral_guard(G)
+    Gs = G + s * jnp.eye(r, dtype=jnp.float32)
+    X1 = tri_inv_chol(Gs, iters=14)
+    t1 = jnp.matmul(X1.T, Gs, precision=_HI)  # exact X1^{-1}
+    Q1 = jnp.matmul(P, X1, precision=_HI)
+    # Pass 2 needs no fallback cond: cond(Q1) <= ~45 by the shift cap.
+    Q2, t2, X2 = tri_cholqr(
+        Q1, iters=12, refine_iters=4, sign_fix=sign_fix, check=False
+    )
+    t = jnp.triu(jnp.matmul(t2, t1, precision=_HI))
+    return Q2, t, jnp.matmul(X1, X2, precision=_HI)
+
+
+def _tri_refine(M: jax.Array, iters: int) -> jax.Array:
+    """Refinement pass: triangular NS on a Gram already near identity
+    (no Jacobi scaling / spectral guard needed)."""
+    r = M.shape[0]
+    I = jnp.eye(r, dtype=jnp.float32)
+    X = I
+    for _ in range(iters):
+        Mi = jnp.matmul(
+            X.T, jnp.matmul(M, X, precision=_HI), precision=_HI
+        )
+        E = I - Mi
+        C = jnp.triu(E, 1) + jnp.diag(jnp.diag(E)) * 0.5
+        X = X + jnp.matmul(X, C, precision=_HI)
+    return X
+
+
+def ns_isqrt(G: jax.Array, iters: int = 10) -> jax.Array:
+    """N ~= G^{-1/2} for SPD G (symmetric polar variant; ``tri_inv_chol``
+    is the triangular one the blocked driver uses — this symmetric form is
+    kept for polar-decomposition uses and as the cross-check oracle).
+
+    Coupled Newton-Schulz: Y_0 = G/c, Z_0 = I;
+    T = (3I - Z Y)/2; Y <- Y T; Z <- T Z;  Z -> (G/c)^{-1/2}.
+    """
+    r = G.shape[0]
+    G = G.astype(jnp.float32)
+    I = jnp.eye(r, dtype=jnp.float32)
+    c = jnp.maximum(_spectral_guard(G), jnp.finfo(jnp.float32).tiny)
+    Y = G / c
+    Z = I
+    for _ in range(iters):
+        T = 1.5 * I - 0.5 * jnp.matmul(Z, Y, precision=_HI)
+        Y = jnp.matmul(Y, T, precision=_HI)
+        Z = jnp.matmul(T, Z, precision=_HI)
+    return Z * jax.lax.rsqrt(c)

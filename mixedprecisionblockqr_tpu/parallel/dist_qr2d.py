@@ -50,6 +50,7 @@ def _dist2d_local(
     cols_axis: str,
     policy: DTypePolicy,
     panel_method: str,
+    loop_mode: str = "unroll",
 ):
     h, wc = A_loc.shape                       # local (m/dr, n/dc) block
     r = min(block_size, n)
@@ -65,6 +66,86 @@ def _dist2d_local(
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
 
+    if loop_mode == "scan":
+        # ONE compiled panel step iterated by fori_loop (round-2 VERDICT
+        # item 2) — the unrolled path traces n/r distinct panel programs,
+        # compile-bound at flagship scale (16384^2 / r=128 = 128 panels).
+        # Mirrors dist_qr.py's 1-D scan: the reflector is applied FULL
+        # WIDTH — finished columns are invariant (Y has no support on their
+        # nonzero rows) and the panel columns become [R; 0] exactly — so no
+        # owner-column writeback/bookkeeping exists; the trailing triu mask
+        # (below) clears the roundoff residue.  lam is traced:
+        # _panel_reflector_cols and the owner-column arithmetic are
+        # dynamic-index safe.
+        if n % r != 0:
+            raise ValueError(f"scan mode needs block_size | n ({r} vs {n})")
+
+        def panel_step(lam, A_loc, B_loc, Qt_loc, pm, square_final=False):
+            j0 = lam // wc
+            loc_col = lam % wc
+            P_cols = jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, r))
+            P_cols = jnp.where(my_col == j0, P_cols, 0.0)
+            Y, Sinv, _ = _panel_reflector_cols(
+                P_cols, lam, r, h, rows_axis, pm, square_final
+            )
+            Y = jax.lax.psum(
+                jnp.where(my_col == j0, Y, jnp.zeros_like(Y)), cols_axis
+            )
+            Sinv = jax.lax.psum(
+                jnp.where(my_col == j0, Sinv, jnp.zeros_like(Sinv)),
+                cols_axis,
+            )
+            G = jax.lax.psum(mm_t(Y.T, A_loc), rows_axis)
+            M = jnp.matmul(Sinv.T, G, precision=_HI)
+            A_loc = (A_loc - mm_t(Y, M)).astype(A_loc.dtype)
+            if B_loc is not None:
+                Gb = jax.lax.psum(mm_t(Y.T, B_loc), rows_axis)
+                B_loc = B_loc - mm_t(
+                    Y, jnp.matmul(Sinv.T, Gb, precision=_HI)
+                )
+            if Qt_loc is not None:
+                Gq = jax.lax.psum(mm_t(Y.T, Qt_loc), rows_axis)
+                Qt_loc = Qt_loc - mm_t(
+                    Y, jnp.matmul(Sinv.T, Gq, precision=_HI)
+                )
+            return A_loc, B_loc, Qt_loc
+
+        dummy = jnp.zeros((1, 1), A_loc.dtype)
+        carry0 = (
+            A_loc,
+            B_loc if B_loc is not None else dummy,
+            Qt_loc if Qt_loc is not None else dummy,
+        )
+
+        def wrapped(k, carry):
+            a, b_, qt = carry
+            a, b2, q2 = panel_step(
+                k * r, a,
+                b_ if B_loc is not None else None,
+                qt if Qt_loc is not None else None,
+                panel_method,
+            )
+            return (
+                a,
+                b2 if B_loc is not None else b_,
+                q2 if Qt_loc is not None else qt,
+            )
+
+        # All but the final panel via the scan; the final (square,
+        # CholeskyQR-hostile) panel runs one static Householder step.
+        A_loc, B_out, Qt_out = jax.lax.fori_loop(
+            0, n // r - 1, wrapped, carry0
+        )
+        B_loc = B_out if B_loc is not None else None
+        Qt_loc = Qt_out if Qt_loc is not None else None
+        A_loc, B_loc, Qt_loc = panel_step(
+            n - r, A_loc, B_loc, Qt_loc, "householder",
+            square_final=(m - (n - r) == r),
+        )
+        gc = my_col * wc + jax.lax.broadcasted_iota(jnp.int32, (h, wc), 1)
+        A_loc = jnp.where(gc >= glob_rows[:, None], A_loc, 0.0)
+        return A_loc, B_loc, Qt_loc
+
     for lam in range(0, n, r):
         w = min(r, n - lam)
         j0, loc_col = lam // wc, lam % wc     # owner column shard + offset
@@ -78,7 +159,7 @@ def _dist2d_local(
         P_cols = jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, w))
         P_cols = jnp.where(my_col == j0, P_cols, 0.0)
         Y, Sinv, R_pan = _panel_reflector_cols(
-            P_cols, lam, w, h, rows_axis, pm
+            P_cols, lam, w, h, rows_axis, pm, square_final=(m - lam == w)
         )
         Y = jax.lax.psum(
             jnp.where(my_col == j0, Y, jnp.zeros_like(Y)), cols_axis
@@ -151,7 +232,7 @@ def _mesh_key(mesh: Mesh):
 
 @lru_cache(maxsize=None)
 def _jitted_2d(m, n, block_size, policy, with_b, want_q, rows_axis,
-               cols_axis, key, panel_method):
+               cols_axis, key, panel_method, loop_mode="unroll"):
     mesh = _MESHES2D[key]
 
     def fn(A, B, Qt):
@@ -161,6 +242,7 @@ def _jitted_2d(m, n, block_size, policy, with_b, want_q, rows_axis,
             Qt if want_q else None,
             m=m, n=n, block_size=block_size, rows_axis=rows_axis,
             cols_axis=cols_axis, policy=policy, panel_method=panel_method,
+            loop_mode=loop_mode,
         )
         return (
             A_out,
@@ -191,6 +273,7 @@ def dist_block_qr_2d(
     b=None,
     panel_method: str = "householder",
     mode: str = "r",
+    loop_mode: str = "unroll",
 ):
     """2-D sharded blocked QR.
 
@@ -198,6 +281,9 @@ def dist_block_qr_2d(
     mode='r' returns R (n x n, replicated)[, Q^T b]; mode='complete'
     returns (Qt, R)[, Q^T b] where Qt = Q^T stays 2-D sharded (transpose
     locally or reshard as needed).
+    loop_mode='scan' compiles ONE panel step and iterates it (needed at
+    flagship scale where the unrolled trace is compile-bound; requires
+    block_size | n).
     """
     A = jnp.asarray(A, dtype=policy.panel)
     m, n = A.shape
@@ -223,7 +309,7 @@ def dist_block_qr_2d(
     )
     fn = _jitted_2d(
         m, n, block_size, policy, with_b, want_q, rows_axis, cols_axis,
-        _mesh_key(mesh), panel_method,
+        _mesh_key(mesh), panel_method, loop_mode,
     )
     A_out, B_out, Qt_out = fn(A, B, Qt0)
     rep = NamedSharding(mesh, P())

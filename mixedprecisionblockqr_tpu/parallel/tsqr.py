@@ -37,6 +37,9 @@ from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
 _HI = jax.lax.Precision.HIGHEST
 
 
+LEAF_METHODS = ("householder", "cholqr2", "cholqr2s")
+
+
 def _leaf_qr(
     block: jax.Array, method: str = "householder"
 ) -> Tuple[jax.Array, jax.Array]:
@@ -44,11 +47,14 @@ def _leaf_qr(
 
     method='cholqr2' is the all-GEMM fast path (see ops/cholqr.py) — for
     tall-skinny leaves it is both faster and much cheaper to compile than
-    the sequential reflector loop; 'householder' is the robust default.
+    the sequential reflector loop; 'cholqr2s' is the shifted variant
+    (Fukaya et al. 2020) whose domain extends to cond ~ 1/eps_f32 —
+    the robust all-GEMM choice for ill-conditioned leaves;
+    'householder' is the unconditionally robust default.
     """
     h, n = block.shape
-    if method == "cholqr2":
-        return cholesky_qr2(block)
+    if method in ("cholqr2", "cholqr2s"):
+        return cholesky_qr2(block, shifted=method == "cholqr2s")
     V, T, Rf = panel_factor(block)
     return reduced_q_from_vt(V, T, n), jnp.triu(Rf[:n, :])
 
@@ -68,7 +74,11 @@ def reduction_tree(
     U12/U34/U1234 tree, ``python/ca_qr.py:33-41``, generalized).
     """
     L, n, _ = Rs.shape
-    assert L & (L - 1) == 0, "leaf count must be a power of two"
+    if L < 1 or L & (L - 1):
+        raise ValueError(
+            f"reduction_tree requires a power-of-two leaf count, got {L} "
+            "(pad the R stack or pick n_leaves/mesh-axis sizes of 2^k)"
+        )
     level_qs = []
     cur = Rs
     c = L
@@ -124,8 +134,11 @@ def tsqr(
 ) -> Tuple[jax.Array, jax.Array]:
     """Reduced QR of a tall-skinny matrix via TSQR.  A: (m, n), m >> n.
 
-    method: 'householder' (robust) or 'cholqr2' (all-GEMM fast path).
-    With method='cholqr2' and no explicit leaf count, the single-chip
+    method: 'householder' (robust), 'cholqr2' (all-GEMM fast path), or
+    'cholqr2s' (shifted CholeskyQR — all-GEMM and safe to cond ~ 1/eps_f32;
+    use for ill-conditioned tall-skinny problems where plain cholqr2's
+    Gram-squared domain, cond <~ 4e3 in fp32, is exceeded).
+    With a cholqr method and no explicit leaf count, the single-chip
     direct factorization (L=1, no tree) is used — on one chip the tree
     only adds passes over the data (measured 70 us vs 590 us at
     100000x64); the reduction tree earns its keep across devices
@@ -136,7 +149,14 @@ def tsqr(
     m, n = A.shape
     if m < n:
         raise ValueError(f"tsqr requires m >= n, got {A.shape}")
-    if n_leaves is None and method == "cholqr2":
+    if method not in LEAF_METHODS:
+        raise ValueError(f"unknown tsqr method {method!r}; options: {LEAF_METHODS}")
+    if n_leaves is not None and (n_leaves < 1 or n_leaves & (n_leaves - 1)):
+        raise ValueError(
+            f"n_leaves must be a power of two, got {n_leaves} "
+            "(the binary reduction tree pairs leaves level by level)"
+        )
+    if n_leaves is None and method.startswith("cholqr"):
         return _leaf_qr(A, method)
     L = _pick_leaves(m, n, n_leaves)
     if L == 1:
@@ -146,6 +166,8 @@ def tsqr(
 
 def tsqr_batched(A_batch, n_leaves: Optional[int] = None):
     """Batched TSQR over a leading batch axis (DP-analog; ``vmap``)."""
+    if n_leaves is not None and (n_leaves < 1 or n_leaves & (n_leaves - 1)):
+        raise ValueError(f"n_leaves must be a power of two, got {n_leaves}")
     L = _pick_leaves(A_batch.shape[1], A_batch.shape[2], n_leaves)
     if L == 1:
         return jax.vmap(_leaf_qr)(A_batch)
@@ -172,6 +194,13 @@ def tsqr_sharded(
     d = mesh.shape[axis]
     if m % d != 0:
         raise ValueError(f"rows {m} must divide over mesh axis {axis} ({d})")
+    if d & (d - 1):
+        raise ValueError(
+            f"tsqr_sharded needs a power-of-two mesh axis {axis!r}, got {d} "
+            "(the replicated binary reduction tree pairs device R factors)"
+        )
+    if local_leaves < 1 or local_leaves & (local_leaves - 1):
+        raise ValueError(f"local_leaves must be a power of two, got {local_leaves}")
 
     def local_fn(Ablk):
         # Ablk: (m/d, n) local block.

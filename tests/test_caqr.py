@@ -55,3 +55,31 @@ def test_caqr_row_block_guard():
     A = np.random.default_rng(3).random((64, 32)).astype(np.float32)
     with pytest.raises(ValueError):
         caqr(A, block_size=32, row_blocks=8)  # 8-row blocks < 32-wide panel
+
+
+def test_caqr_flagship_scale_compiles_fast():
+    """Round-2 VERDICT item 4 'done' bar: 2048x1024 CAQR traces/compiles in
+    seconds (the round-1 per-pair Python loops were compile-bound here) and
+    iterative-refinement lstsq at n>=1024 works through it."""
+    import time
+
+    import jax
+
+    from mixedprecisionblockqr_tpu.models.lstsq import lstsq
+    from mixedprecisionblockqr_tpu.parallel.caqr import apply_qt, caqr_factor
+
+    rng = np.random.default_rng(42)
+    A = rng.standard_normal((2048, 1024)).astype(np.float32)
+    t0 = time.time()
+    factors, R = caqr_factor(A, block_size=128)
+    jax.block_until_ready(R)
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"caqr_factor trace+compile+run took {elapsed:.0f}s"
+    Rn = np.asarray(R, np.float64)
+    dref = np.abs(np.diag(np.linalg.qr(A.astype(np.float64), mode="r")))
+    np.testing.assert_allclose(np.abs(np.diag(Rn)), dref, rtol=1e-3)
+    # refinement solve at scale (routes through caqr_factor/apply_qt)
+    xt = rng.standard_normal(1024).astype(np.float32)
+    b = A @ xt
+    x = np.asarray(lstsq(A, b, block_size=128, refine_steps=1))
+    np.testing.assert_allclose(x, xt, atol=2e-3)

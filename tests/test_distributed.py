@@ -216,3 +216,115 @@ def test_dist_qr_2d_complete_q():
         np.linalg.norm(A - Qn @ Rfull) / np.linalg.norm(A) < 1e-5
     )
     assert np.abs(Qn.T @ Qn - np.eye(256)).max() < 1e-5
+
+
+def test_dist_qr_2d_scan_mode():
+    """2-D scan mode (round-2 VERDICT item 2): one compiled panel step,
+    full-width updates — must match the unrolled path and numpy."""
+    from mixedprecisionblockqr_tpu.parallel.dist_qr2d import (
+        COLS_AXIS,
+        dist_block_qr_2d,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+
+    mesh2d = make_mesh((4, 2), (ROWS_AXIS, COLS_AXIS))
+    rng = np.random.default_rng(14)
+    A = rng.random((256, 128)).astype(np.float32)
+    xt = rng.random(128).astype(np.float32)
+    b = A @ xt
+    R, qtb = dist_block_qr_2d(
+        A, mesh2d, block_size=32, b=b, panel_method="cholqr2",
+        loop_mode="scan",
+    )
+    Rn = np.asarray(R)
+    assert np.allclose(np.tril(Rn[:128], -1), 0)
+    Rref = np.linalg.qr(A)[1]
+    np.testing.assert_allclose(
+        np.abs(np.diag(Rn[:128])), np.abs(np.diag(Rref)), rtol=1e-3
+    )
+    x = np.asarray(back_substitution(Rn[:128, :], np.asarray(qtb)[:128, 0]))
+    np.testing.assert_allclose(x, xt, atol=1e-3)
+
+
+def test_dist_qr_2d_scan_complete_q():
+    from mixedprecisionblockqr_tpu.parallel.dist_qr2d import (
+        COLS_AXIS,
+        dist_block_qr_2d,
+    )
+    from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS, make_mesh
+
+    mesh2d = make_mesh((4, 2), (ROWS_AXIS, COLS_AXIS))
+    A = np.random.default_rng(15).random((128, 64)).astype(np.float32)
+    Qt, R = dist_block_qr_2d(
+        A, mesh2d, block_size=16, mode="complete", loop_mode="scan"
+    )
+    Qn = np.asarray(Qt).T
+    Rfull = np.vstack([np.asarray(R), np.zeros((64, 64), np.float32)])
+    assert np.linalg.norm(A - Qn @ Rfull) / np.linalg.norm(A) < 1e-5
+    assert np.abs(Qn.T @ Qn - np.eye(128)).max() < 1e-5
+
+
+@pytest.mark.parametrize("lam", [0, 16, 48, 96, 112])
+def test_dist_reflector_offset_sweep(mesh, lam):
+    """Offset-axis sweep of the lam-anchored distributed reflector
+    (dist_qr.py::_panel_reflector) — the reference sweeps a global_offset
+    axis in test_iterator_dev_wy_funcs (Cuda/qr.cu:1910-1942); round-1
+    VERDICT missing item 4.  For each anchor: the reconstructed
+    H = I - Y Sinv Y^T must be orthogonal, act as identity on rows < lam,
+    and map the panel to [R; 0]."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mixedprecisionblockqr_tpu.parallel.dist_qr import _panel_reflector
+    from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
+
+    m, n, w = 128, 128, 16
+    h = m // mesh.shape[ROWS_AXIS]
+    A = np.random.default_rng(20 + lam).random((m, n)).astype(np.float32)
+
+    def local(A_loc):
+        # square_final as the drivers pass it: the lam + w == m anchor is
+        # the Yamamoto breakdown domain (S = I - Q1^T with orthogonal Q1)
+        # and routes through the exact compact-WY band factorization.
+        return _panel_reflector(
+            A_loc, lam, w, h, ROWS_AXIS, "householder",
+            square_final=(m - lam == w),
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(ROWS_AXIS, None),
+            out_specs=(P(ROWS_AXIS, None), P(), P()),
+            check_vma=False,
+        )
+    )
+    Y, Sinv, R_pan = fn(jnp.asarray(A))
+    Yn = np.asarray(Y, np.float64)
+    Sn = np.asarray(Sinv, np.float64)
+    H = np.eye(m) - Yn @ Sn @ Yn.T
+    # orthogonal, identity above the anchor
+    assert np.abs(H.T @ H - np.eye(m)).max() < 1e-5, lam
+    if lam:
+        np.testing.assert_allclose(H[:lam, :lam], np.eye(lam), atol=1e-6)
+        assert np.abs(H[:lam, lam:]).max() < 1e-6
+    # zeroes the panel below the anchor band: H^T P = [*; R; 0]
+    P_cols = A[:, lam : lam + w].copy()
+    P_cols[:lam, :] = 0.0  # the driver masks rows above the panel
+    HtP = H.T @ P_cols
+    np.testing.assert_allclose(
+        np.abs(HtP[lam : lam + w]), np.abs(np.asarray(R_pan, np.float64)),
+        atol=1e-4,
+    )
+    if lam + w < m:
+        assert np.abs(HtP[lam + w :]).max() < 1e-4, lam
+
+
+def test_dist_qr_square_matrix(mesh):
+    """SQUARE matrices end with a square final panel — the Yamamoto
+    near-singular-S domain the offset sweep exposed; must be exact via the
+    compact-WY band path in both loop modes."""
+    A = np.random.default_rng(21).random((128, 128)).astype(np.float32)
+    for lm in ("unroll", "scan"):
+        Qd, Rd = dist_block_qr(A, mesh, block_size=16, mode="complete",
+                               loop_mode=lm)
+        rep = metrics.evaluate(A, Qd, Rd, precision_bits=23)
+        assert rep.all_ok and rep.tight_ok, (lm, str(rep))

@@ -71,3 +71,21 @@ def test_panel_factor_fused_zero_column():
     Vn, Tn = np.asarray(V, np.float64), np.asarray(T, np.float64)
     Qp = np.eye(64) - Vn @ Tn @ Vn.T
     np.testing.assert_allclose(Qp.T @ P, np.asarray(R), atol=1e-5)
+
+
+def test_tiled_matmul_uint8_exact():
+    # The reference's unsigned wmma combo (u8 x u8 -> i32,
+    # Cuda/mmult.cuh:287-299): lifted to the MXU's s8 path with rank-1
+    # corrections — must stay EXACT integer arithmetic.
+    from mixedprecisionblockqr_tpu.ops.pallas.gemm import (
+        matmul_uint8_accum_i32,
+    )
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, (48, 40)).astype(np.uint8)
+    b = rng.integers(0, 256, (40, 24)).astype(np.uint8)
+    c = matmul_uint8_accum_i32(jnp.asarray(a), jnp.asarray(b), bm=16, bn=16,
+                               bk=16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(c), a.astype(np.int32) @ b.astype(np.int32)
+    )

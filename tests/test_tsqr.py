@@ -101,3 +101,40 @@ def test_reduction_tree_cholqr2():
     stack = np.asarray(Rs).reshape(L * n, n)
     Fstack = np.asarray(F).reshape(L * n, n)
     np.testing.assert_allclose(Fstack @ np.asarray(R), stack, atol=1e-4)
+
+
+def test_tsqr_cholqr2s_ill_conditioned():
+    """Robust tall-skinny path (round-2 VERDICT item 6): at cond(A) >= 1e5
+    plain cholqr2's Gram squares past the fp32 chol domain, while the
+    SHIFTED variant (cholqr2s) must still deliver a usable factorization;
+    the Householder leaves remain the exact oracle."""
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    n = 48
+    base = conditioned_matrix(n, 1e5, seed=3).astype(np.float32)
+    # tall-skinny with exact cond 1e5: stack scaled copies of the square
+    rng = np.random.default_rng(4)
+    lift, _ = np.linalg.qr(rng.standard_normal((4096, n)))
+    A = (lift @ base).astype(np.float32)
+    assert np.linalg.cond(A.astype(np.float64)) > 9e4
+
+    Qs, Rs = tsqr(A, method="cholqr2s")
+    Qn = np.asarray(Qs, np.float64)
+    back = np.linalg.norm(A - Qn @ np.asarray(Rs, np.float64)) / np.linalg.norm(A)
+    orth = np.abs(Qn.T @ Qn - np.eye(n)).max()
+    assert back < 1e-5, back
+    assert orth < 1e-3, orth
+
+    # tree variant (the distributed robustness path)
+    Qt, Rt = tsqr(A, n_leaves=8, method="cholqr2s")
+    Qtn = np.asarray(Qt, np.float64)
+    assert np.linalg.norm(A - Qtn @ np.asarray(Rt, np.float64)) / np.linalg.norm(A) < 1e-5
+    assert np.abs(Qtn.T @ Qtn - np.eye(n)).max() < 1e-3
+
+
+def test_tsqr_leaf_method_validation():
+    A = np.random.default_rng(5).random((256, 16)).astype(np.float32)
+    with pytest.raises(ValueError):
+        tsqr(A, method="nonsense")
+    with pytest.raises(ValueError):
+        tsqr(A, n_leaves=3)
