@@ -584,6 +584,7 @@ def _block_qr_bgs(
     group_panels: int = 4,
     on_tpu: bool = False,
     reorth: bool = True,
+    ns_impl: str = "pallas",
 ):
     """Right-looking Block Gram-Schmidt QR — the throughput flagship
     (``panel_method='bgs'``).
@@ -624,6 +625,18 @@ def _block_qr_bgs(
         tri_cholqr_robust,
         tri_iters_for_aspect,
     )
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+        ns_chain,
+        tri_cholqr_robust_fused,
+    )
+
+    # ns_impl='pallas': the whole per-panel NS chain (Jacobi scale, guard,
+    # iterations, t recovery, residual) runs as ONE kernel dispatch instead
+    # of ~25 XLA ops — the drivers are op-dispatch-bound (~0.7us/op floor,
+    # BENCH_NOTES.md round-2 roofline), so chain fusion is the lever that
+    # plain XLA cannot express.  Interpret-mode on CPU keeps tests hermetic.
+    use_pallas = ns_impl == "pallas"
+    interp = not on_tpu
 
     m, n = A.shape
     r = block_size
@@ -665,7 +678,19 @@ def _block_qr_bgs(
                 # The last panel(s) inherit the trailing corner's
                 # conditioning (cond(G) can reach 1e5-1e8): shifted
                 # three-pass scheme, convergent for any input.
-                Qk, t, _ = tri_cholqr_robust(P, sign_fix=False)
+                if use_pallas:
+                    Qk, t, _ = tri_cholqr_robust_fused(P, interpret=interp)
+                else:
+                    Qk, t, _ = tri_cholqr_robust(P, sign_fix=False)
+            elif use_pallas:
+                G = jnp.matmul(P.T, P, precision=gram_prec)
+                X, t, resid = ns_chain(
+                    G,
+                    iters=(base_iters if j < 0.75 * nb else base_iters + 4),
+                    interpret=interp,
+                )
+                Qk = jnp.matmul(P, X, precision=gram_prec)
+                worst_resid = jnp.maximum(worst_resid, resid)
             else:
                 Qk, t, _, resid = tri_cholqr(
                     P,

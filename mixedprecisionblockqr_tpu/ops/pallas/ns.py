@@ -1,0 +1,341 @@
+"""Fused triangular Newton-Schulz chain — the whole panel-inverse iteration
+as ONE kernel.
+
+Why: the BGS/polar drivers' per-panel cost is op COUNT, not FLOPs — the
+triangular-NS inverse Cholesky (``ops/polar.py::tri_inv_chol``) is ~3 small
+matmuls per iteration x 6-14 iterations, and in-context every XLA op costs
+~0.7us of dispatch regardless of content (BENCH_NOTES.md round-2 profiling:
+the 2048^2 factorization spends ~2/3 of its runtime on these chains).  This
+kernel runs the ENTIRE chain — Jacobi scaling, spectral guard, all NS
+iterations, the R recovery ``t = triu(X^T G)`` and the convergence residual
+— on a VMEM-resident r x r block: one dispatch instead of ~25, with the
+per-iteration 128^3 HIGHEST matmuls back-to-back on the MXU.
+
+It also makes iteration count nearly free, so the ill-conditioned tail
+panels can simply run a longer chain (+ an in-kernel shift) instead of the
+~100-op three-pass ``tri_cholqr_robust`` composition.
+
+This is the same TPU answer as the reference's move of its panel math off
+the host (``dev_mixed_precision_block_qr``'s per-panel CPU stall,
+``Cuda/qr.cu:1049-1226``) taken one level further: panel -> Gram -> one
+fused device op.
+
+Semantics match ``ops/polar.py::tri_inv_chol`` exactly (same update, same
+seed, same guard) — oracle-tested against it in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    # fp32 dots inside Mosaic lower to one bf16 MXU pass without HIGHEST
+    # (repo numerics rule; see ops/pallas/chol.py::_dot).
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_HI)
+
+
+def _dot_ta(a, b):
+    # a^T @ b without materializing the transpose (contract on axis 0).
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+# -- shared in-kernel chain pieces ------------------------------------------
+# Everything stays 2-D: 1-D (r,) intermediates trip Mosaic relayout bugs on
+# 1x128 vectors, and (r,1)<->(1,r) transposes are relayouts too — so the
+# diagonal is extracted TWICE (row- and column-shaped masked reductions)
+# instead of transposing one of them, and the power-iteration matvecs are
+# (r,r)@(r,1) MXU dots.
+
+
+def _norm2_est(M):
+    # Upper estimate of ||M||_2: 1.05 x two power-iteration steps.
+    v0 = jnp.sum(M, axis=1, keepdims=True)          # (r, 1)
+    v1 = _dot(M, v0)
+    v2 = _dot(M, v1)
+    n1 = jnp.sqrt(jnp.sum(v1 * v1))
+    n2 = jnp.sqrt(jnp.sum(v2 * v2))
+    return 1.05 * n2 / (n1 + 1e-30)
+
+
+def _tri_ns(G, iters, rows, cols, eye, refine=False):
+    """The triangular-NS chain on an SPD G (exact ``tri_inv_chol``
+    semantics).  Returns (X, E) with E the last iteration's correction."""
+    if refine:
+        # G already near identity — no Jacobi scaling / guard, X0 = I.
+        X = eye
+    else:
+        diag_keep = jnp.where(rows == cols, G, 0.0)
+        tiny = jnp.finfo(jnp.float32).tiny
+        dcol = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(diag_keep, axis=1, keepdims=True), tiny)
+        )                                                # (r, 1)
+        drow = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(diag_keep, axis=0, keepdims=True), tiny)
+        )                                                # (1, r)
+        M0 = G * dcol * drow
+        scale = jax.lax.rsqrt(_norm2_est(M0))
+        X = jnp.where(rows == cols, drow * scale, 0.0)
+
+    def body(_, carry):
+        X, _E = carry
+        W = _dot(G, X)
+        M = _dot_ta(X, W)
+        E = eye - M
+        C = jnp.where(cols > rows, E, 0.0) + jnp.where(rows == cols, E, 0.0) * 0.5
+        X = X + _dot(X, C)
+        return X, E
+
+    return jax.lax.fori_loop(0, iters, body, (X, eye))
+
+
+def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
+               shift: float, refine: bool):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    G = g_ref[:]
+    if shift:
+        # G + s||G|| I caps the effective condition number so a fixed
+        # chain converges for any input (ops/polar.py::tri_cholqr_robust
+        # pass 1).
+        G = G + (shift * _norm2_est(G)) * eye
+    X, E = _tri_ns(G, iters, rows, cols, eye, refine=refine)
+    x_ref[:] = X
+    # X^{-1} = X^T G at convergence — R recovered with no solve.
+    t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
+    resid_ref[0, 0] = jnp.max(jnp.abs(E))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "shift", "refine", "interpret")
+)
+def ns_chain(
+    G: jax.Array,
+    iters: int = 10,
+    shift: float = 0.0,
+    refine: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused triangular-NS inverse Cholesky of an SPD Gram ``G`` (r x r).
+
+    Returns ``(X, t, resid)``: upper-triangular X with ``X^T G' X ~= I``
+    (G' = G + shift*||G|| I when ``shift`` > 0), ``t = triu(X^T G')`` (the
+    exact inverse of X at convergence), and ``resid = max|I - X^T G' X|``
+    from the LAST iteration's correction (one step conservative, free).
+
+    ``refine=True`` runs the no-scaling identity-seeded variant for Grams
+    already near I (``_tri_refine`` parity).
+    """
+    r = G.shape[0]
+    kernel = functools.partial(
+        _ns_kernel, r=r, iters=iters, shift=shift, refine=refine
+    )
+    X, t, resid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, r), jnp.float32),
+            jax.ShapeDtypeStruct((r, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # (1,1) scalar output lives in SMEM (Mosaic cannot store
+            # scalars to VMEM).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(G.astype(jnp.float32))
+    return X, t, resid[0, 0]
+
+
+def _ninv_kernel(s_ref, x_ref, resid_ref, *, r: int, iters: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    S = s_ref[:]
+    X = (2.0 / 3.0) * eye  # minimax scalar seed for sigma(S) in [1, 2]
+
+    def body(_, X):
+        return _dot(X, 2.0 * eye - _dot(S, X))
+
+    X = jax.lax.fori_loop(0, iters, body, X)
+    x_ref[:] = X
+    resid_ref[0, 0] = jnp.max(jnp.abs(eye - _dot(S, X)))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def ninv_chain(
+    S: jax.Array, iters: int = 6, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused general Newton-Schulz inverse — ``ops/cholqr.py::newton_inv``
+    (X0 = (2/3)I, X <- X(2I - S X)) as one kernel dispatch, for the
+    Yamamoto S whose spectrum the sign convention pins to [1, 2].
+
+    Returns ``(X, resid)`` with ``resid = max|I - S X|`` of the FINAL
+    iterate (newton_inv's ``check`` recomputes exactly this); callers arm
+    their own fallback on it (a lax.cond with captured m x m buffers costs
+    ~200us on TPU — ops/blockqr.py::_poison_if_unconverged discussion).
+    """
+    r = S.shape[0]
+    kernel = functools.partial(_ninv_kernel, r=r, iters=iters)
+    X, resid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(S.astype(jnp.float32))
+    return X, resid[0, 0]
+
+
+def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
+                     iters: int, gram_hi: bool, robust: bool):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    gprec = _HI if gram_hi else jax.lax.Precision.HIGH
+
+    def gram(a):  # a^T a at the policy's Gram precision
+        return jax.lax.dot_general(
+            a, a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=gprec,
+        )
+
+    P = p_ref[:]
+    G = gram(P)
+    if robust:
+        # Shifted three-pass scheme entirely in VMEM (ops/polar.py::
+        # tri_cholqr_robust): pass 1 on the shifted Gram (condition capped
+        # -> 14 iterations converge for any input; t1 = X1^{-1} EXACTLY at
+        # convergence so reconstruction is preserved), passes 2-3 on the
+        # fresh Grams of the explicit products, absorbing the shift bias.
+        Gs = G + (1e-3 * _norm2_est(G)) * eye
+        X1, _ = _tri_ns(Gs, 14, rows, cols, eye)
+        t1 = _dot_ta(X1, Gs)
+        Q1 = jnp.dot(P, X1, preferred_element_type=jnp.float32,
+                     precision=_HI)
+        M1 = gram(Q1)
+        X2, _ = _tri_ns(M1, 12, rows, cols, eye)
+        t2 = _dot_ta(X2, M1)
+        Q2 = jnp.dot(Q1, X2, preferred_element_type=jnp.float32,
+                     precision=_HI)
+        M2 = gram(Q2)
+        X3, E = _tri_ns(M2, 4, rows, cols, eye, refine=True)
+        t3 = _dot_ta(X3, M2)
+        q_ref[:] = jnp.dot(Q2, X3, preferred_element_type=jnp.float32,
+                           precision=_HI)
+        t_ref[:] = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
+        resid_ref[0, 0] = jnp.max(jnp.abs(E))
+    else:
+        X, E = _tri_ns(G, iters, rows, cols, eye)
+        q_ref[:] = jnp.dot(P, X, preferred_element_type=jnp.float32,
+                           precision=gprec)
+        t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
+        resid_ref[0, 0] = jnp.max(jnp.abs(E))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "gram_hi", "robust", "interpret")
+)
+def panel_qr_fused(
+    P: jax.Array,
+    iters: int = 10,
+    gram_hi: bool = True,
+    robust: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The ENTIRE panel factorization as one kernel: Gram, NS chain(s),
+    ``Q = P X`` and ``t`` — P rides VMEM end-to-end (m*r*4*2 bytes; the
+    blocked drivers keep m <= 8192, r <= 256 well inside the 16 MB budget).
+
+    ``robust=True`` runs the shifted three-pass scheme (``tri_cholqr_
+    robust`` parity) — one dispatch instead of 3 kernels + 7 GEMMs.
+    Returns (Q (m,r), t (r,r), resid).
+    """
+    m, r = P.shape
+    kernel = functools.partial(
+        _panel_qr_kernel, m=m, r=r, iters=iters, gram_hi=gram_hi,
+        robust=robust,
+    )
+    Q, t, resid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, r), jnp.float32),
+            jax.ShapeDtypeStruct((r, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(P.astype(jnp.float32))
+    return Q, t, resid[0, 0]
+
+
+def tri_cholqr_fused(
+    P: jax.Array,
+    iters: int = 10,
+    gram_precision=_HI,
+    interpret: bool = False,
+):
+    """Drop-in for ``ops/polar.py::tri_cholqr(sign_fix=False, check=False,
+    return_resid=True)`` with the whole NS chain as one dispatch:
+    Gram GEMM -> ns_chain kernel -> Q GEMM.  Returns (Qs, t, X, resid)."""
+    G = jnp.matmul(P.T, P, precision=gram_precision)
+    X, t, resid = ns_chain(G, iters=iters, interpret=interpret)
+    Q = jnp.matmul(P, X, precision=gram_precision)
+    return Q, t, X, resid
+
+
+def tri_cholqr_robust_fused(
+    P: jax.Array,
+    interpret: bool = False,
+):
+    """Fused counterpart of ``tri_cholqr_robust`` (shifted three-pass) for
+    ill-conditioned tail panels: 2 kernel dispatches + 5 GEMMs instead of
+    the ~100-op XLA composition.  Pass 1 factors the shifted Gram (capped
+    condition number -> 14 iterations always converge; reconstruction stays
+    exact since t1 = X1^{-1} exactly at convergence); pass 2 re-factors the
+    fresh Gram of Q1 = P X1 with a long chain (iteration count is nearly
+    free in-kernel), absorbing the shift bias.  Returns (Qs, t, X)."""
+    X1, t1, _ = ns_chain(
+        jnp.matmul(P.T, P, precision=_HI), iters=14, shift=1e-3,
+        interpret=interpret,
+    )
+    Q1 = jnp.matmul(P, X1, precision=_HI)
+    # cond(Q1) <= ~45 by the shift cap; 12 iterations converge, and the
+    # refine chain runs on the FRESH Gram of the explicit product (captures
+    # committed fp32 rounding — the algebraic form plateaus at ~1e-4).
+    M1 = jnp.matmul(Q1.T, Q1, precision=_HI)
+    X2, t2, _ = ns_chain(M1, iters=12, interpret=interpret)
+    Q1f = jnp.matmul(Q1, X2, precision=_HI)
+    M2 = jnp.matmul(Q1f.T, Q1f, precision=_HI)
+    X3, t3, _ = ns_chain(M2, iters=4, refine=True, interpret=interpret)
+    Qs = jnp.matmul(Q1f, X3, precision=_HI)
+    t21 = jnp.matmul(t2, t1, precision=_HI)
+    t = jnp.triu(jnp.matmul(t3, t21, precision=_HI))
+    X = jnp.matmul(jnp.matmul(X1, X2, precision=_HI), X3, precision=_HI)
+    return Qs, t, X

@@ -1,0 +1,173 @@
+"""Fused NS-chain kernel (ops/pallas/ns.py) vs its XLA oracle
+(ops/polar.py) — interpret mode on CPU, the reference's kernel-vs-host-twin
+pattern (SURVEY §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+    ns_chain,
+    tri_cholqr_fused,
+    tri_cholqr_robust_fused,
+)
+from mixedprecisionblockqr_tpu.ops.policy import POLICY_FP32
+from mixedprecisionblockqr_tpu.ops.polar import (
+    tri_cholqr,
+    tri_cholqr_robust,
+    tri_inv_chol,
+)
+
+
+@pytest.mark.parametrize("r,iters", [(32, 6), (128, 6), (128, 10), (256, 8)])
+def test_ns_chain_matches_tri_inv_chol(r, iters):
+    rng = np.random.default_rng(r + iters)
+    P = rng.standard_normal((8 * r, r)).astype(np.float32)
+    G = jnp.asarray(P.T @ P)
+    X_ref = tri_inv_chol(G, iters=iters)
+    X, t, resid = ns_chain(G, iters=iters, interpret=True)
+    # Same update, same seed, same guard -> bit-identical chains modulo
+    # reduction order; measured exact on the fori-loop path.
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               rtol=1e-6, atol=1e-6)
+    # t = triu(X^T G) is the exact inverse of X at convergence.
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(X, t, precision=jax.lax.Precision.HIGHEST)),
+        np.eye(r), atol=5e-4,
+    )
+    assert float(resid) < 1e-4
+    # X upper-triangular, t upper-triangular.
+    assert np.allclose(np.tril(np.asarray(X), -1), 0.0)
+    assert np.allclose(np.tril(np.asarray(t), -1), 0.0)
+
+
+def test_tri_cholqr_fused_matches_xla():
+    rng = np.random.default_rng(3)
+    P = jnp.asarray(rng.standard_normal((1024, 128)).astype(np.float32))
+    Qf, tf, Xf, residf = tri_cholqr_fused(P, iters=7, interpret=True)
+    Qr, tr, Xr, residr = tri_cholqr(P, iters=7, sign_fix=False, check=False,
+                                    return_resid=True)
+    np.testing.assert_allclose(np.asarray(Qf), np.asarray(Qr), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(tr), atol=1e-3)
+
+
+def test_robust_fused_ill_conditioned_panel():
+    # cond(P) ~ 1e4: inside the documented fp32 Gram domain for the
+    # three-pass scheme; parity with the XLA composition.
+    rng = np.random.default_rng(4)
+    U, _ = np.linalg.qr(rng.standard_normal((256, 128)))
+    V, _ = np.linalg.qr(rng.standard_normal((128, 128)))
+    P = jnp.asarray((U * np.logspace(0, -4, 128)) @ V.T, dtype=jnp.float32)
+    Qf, tf, _ = tri_cholqr_robust_fused(P, interpret=True)
+    Qx, tx, _ = tri_cholqr_robust(P, sign_fix=False)
+    orth_f = float(jnp.max(jnp.abs(Qf.T @ Qf - jnp.eye(128))))
+    orth_x = float(jnp.max(jnp.abs(Qx.T @ Qx - jnp.eye(128))))
+    recon = float(jnp.max(jnp.abs(Qf @ tf - P)))
+    assert orth_f < max(5e-5, 2 * orth_x)
+    assert recon < 1e-4
+
+
+def test_ns_chain_shift_mode():
+    # Shifted pass: converges on a near-singular Gram where the unshifted
+    # chain's budget would blow; t stays the exact inverse of X w.r.t. the
+    # SHIFTED Gram, so reconstruction through (P X) t is preserved.
+    rng = np.random.default_rng(5)
+    U, _ = np.linalg.qr(rng.standard_normal((128, 128)))
+    P = (U * np.logspace(0, -5, 128)).astype(np.float32)
+    G = jnp.asarray(P.T @ P)
+    X, t, resid = ns_chain(G, iters=14, shift=1e-3, interpret=True)
+    assert float(resid) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(X, t, precision=jax.lax.Precision.HIGHEST)),
+        np.eye(128), atol=1e-3,
+    )
+
+
+def test_ns_chain_refine_mode():
+    # Identity-seeded refinement on a Gram near I (pass-2/3 use).
+    rng = np.random.default_rng(6)
+    E = rng.standard_normal((64, 64)).astype(np.float32)
+    G = jnp.asarray(np.eye(64, dtype=np.float32) + 1e-3 * (E + E.T))
+    X, t, resid = ns_chain(G, iters=4, refine=True, interpret=True)
+    M = np.asarray(
+        jnp.matmul(X.T, jnp.matmul(G, X, precision=jax.lax.Precision.HIGHEST),
+                   precision=jax.lax.Precision.HIGHEST)
+    )
+    assert np.max(np.abs(M - np.eye(64))) < 1e-6
+
+
+def test_ninv_chain_matches_newton_inv():
+    from mixedprecisionblockqr_tpu.ops.cholqr import newton_inv
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import ninv_chain
+
+    rng = np.random.default_rng(7)
+    # A Yamamoto-class S from a TALL panel (aspect 8): I - Q1^T with
+    # Q1 the top block of the orthonormal basis, diag flipped <= 0 —
+    # ||Q1||_2 < 1 keeps sigma(S) in [1, 2] (square Q1 is the documented
+    # breakdown domain, not the driver's input).
+    Qb, _ = np.linalg.qr(rng.standard_normal((512, 64)))
+    Qb = Qb * np.where(np.diag(Qb[:64]) > 0, -1.0, 1.0)[None, :]
+    S = jnp.asarray(np.eye(64) - Qb[:64].T, dtype=jnp.float32)
+    X_ref = newton_inv(S, iters=6)
+    X, resid = ninv_chain(S, iters=6, interpret=True)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert float(resid) < 1e-3
+
+
+@pytest.mark.parametrize("gram_hi", [True, False])
+def test_panel_qr_fused_matches_tri_cholqr(gram_hi):
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import panel_qr_fused
+
+    rng = np.random.default_rng(8)
+    P = jnp.asarray(rng.standard_normal((1024, 128)).astype(np.float32))
+    Q, t, resid = panel_qr_fused(P, iters=7, gram_hi=gram_hi, interpret=True)
+    atol = 1e-5 if gram_hi else 5e-3  # HIGH Gram ~ 3-pass bf16 class
+    Qr, tr, _, residr = tri_cholqr(
+        P, iters=7, sign_fix=False, check=False, return_resid=True,
+        gram_precision=(jax.lax.Precision.HIGHEST if gram_hi
+                        else jax.lax.Precision.HIGH),
+    )
+    np.testing.assert_allclose(np.asarray(Q), np.asarray(Qr), atol=atol)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(tr),
+                               atol=max(atol, 1e-3) * 40)
+    assert float(resid) < 1e-4
+    # And the factorization actually reconstructs.
+    recon = float(jnp.max(jnp.abs(
+        jnp.matmul(Q, t, precision=jax.lax.Precision.HIGHEST) - P)))
+    assert recon < (1e-3 if gram_hi else 0.3)  # bf16-class Gram -> looser
+
+
+def test_panel_qr_fused_robust_matches_three_pass():
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import panel_qr_fused
+
+    rng = np.random.default_rng(9)
+    U, _ = np.linalg.qr(rng.standard_normal((256, 128)))
+    V, _ = np.linalg.qr(rng.standard_normal((128, 128)))
+    P = jnp.asarray((U * np.logspace(0, -4, 128)) @ V.T, dtype=jnp.float32)
+    Q, t, resid = panel_qr_fused(P, robust=True, interpret=True)
+    orth = float(jnp.max(jnp.abs(Q.T @ Q - jnp.eye(128))))
+    recon = float(jnp.max(jnp.abs(Q @ t - P)))
+    Qx, tx, _ = tri_cholqr_robust(P, sign_fix=False)
+    orth_x = float(jnp.max(jnp.abs(Qx.T @ Qx - jnp.eye(128))))
+    assert orth < max(5e-5, 2 * orth_x)
+    assert recon < 1e-4
+
+
+def test_bgs_driver_ns_impl_parity():
+    # The full driver with ns_impl='pallas' (interpret) matches 'xla'.
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    A = jnp.asarray(a)
+    out = {}
+    for impl in ("xla", "pallas"):
+        R, Q, _ = jax.jit(
+            lambda x, impl=impl: _block_qr_bgs(
+                x, 128, POLICY_FP32, True, None, 4, False,
+                reorth=False, ns_impl=impl)
+        )(A)
+        out[impl] = (np.asarray(R), np.asarray(Q))
+    np.testing.assert_allclose(out["xla"][0], out["pallas"][0], atol=1e-4)
+    np.testing.assert_allclose(out["xla"][1], out["pallas"][1], atol=1e-4)
