@@ -32,13 +32,15 @@ M = N = 2048
 BLOCK = 128
 # Block Gram-Schmidt with triangular Newton-Schulz panels
 # (ops/blockqr.py::_block_qr_bgs, single-pass): no chol/solve custom
-# calls, no Pallas final panel, and Q materializes by concatenation (zero
-# Q-update GEMMs).  Fastest measured driver (BENCH_NOTES.md face-off:
-# 1.64x over round-1's cholqr1 in-session); backward error ~5x better
-# than round 1, orthogonality in the bf16 one-pass-BCGS class (both
-# inside the acceptance and sqrt(m)-tightness gates, asserted below).
-# 'bgs' (group-reorthogonalized) and 'polar' are the tighter-orthogonality
-# tiers.
+# calls, Q materializes by concatenation (zero Q-update GEMMs), and — the
+# round-3 lever — the whole per-GROUP factorization chain (4 panels'
+# Gram + NS iterations + Q products + eager projections) runs as ONE
+# Mosaic kernel (ops/pallas/ns.py::bgs_group_fused; the drivers are
+# op-dispatch-bound at ~0.7us/XLA-op, so chain fusion is what XLA alone
+# cannot express).  Face-off at this config (experiments/r3_ns_kernel
+# .jsonl): 330us / 87 TFLOP/s vs 574us / 50 for the round-2 XLA chain and
+# 990us / 29 for round-1 cholqr1.  'bgs' (reorthogonalized) and 'polar'
+# are the tighter-orthogonality tiers; 'householder' the robust tier.
 PANEL_METHOD = "bgs1"
 GROUP_PANELS = 4
 

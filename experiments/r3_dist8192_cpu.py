@@ -33,22 +33,23 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
-    n = 8192
+    n = int(os.environ.get("N", "8192"))
+    pm = os.environ.get("PM", "cholqr2s")
     devices = np.array(jax.devices()[:8])
     mesh = Mesh(devices, ("rows",))
     rng = np.random.default_rng(0)
     a = rng.standard_normal((n, n)).astype(np.float32)
     t0 = time.time()
     Q, R = dist_block_qr(
-        jnp.asarray(a), mesh, block_size=256, policy=POLICY_FP32,
-        mode="complete", loop_mode="scan", panel_method="cholqr2",
+        jnp.asarray(a), mesh, block_size=int(os.environ.get("BLOCK", "256")), policy=POLICY_FP32,
+        mode="complete", loop_mode="scan", panel_method=pm,
     )
     Q = jax.block_until_ready(Q)
     wall = time.time() - t0
     rep = metrics.evaluate(a, Q, R, precision_bits=23)
     row = {
-        "config": "8192^2 complete-Q dist_block_qr, 8-device CPU mesh, "
-                  "scan mode, POLICY_FP32/cholqr2",
+        "config": f"{n}^2 complete-Q dist_block_qr, 8-device CPU mesh, "
+                  f"scan mode, POLICY_FP32/{pm}, block " + os.environ.get("BLOCK", "256"),
         "wall_s": round(wall, 1),
         "backward": rep.backward,
         "orthogonality": rep.orthogonality,

@@ -68,9 +68,14 @@ def drivers():
     for name, r, g, reorth, impl in cases:
         t0 = time.time()
         try:
-            fn = jax.jit(lambda x, r=r, g=g, reorth=reorth, impl=impl:
-                         _block_qr_bgs(x, r, POLICY_MIXED, True, None, g,
-                                       True, reorth=reorth, ns_impl=impl))
+            if impl == "scan":
+                from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
+                fn = jax.jit(lambda x, r=r, reorth=reorth: _block_qr_bgs_scan(
+                    x, r, POLICY_MIXED, True, None, True, reorth=reorth))
+            else:
+                fn = jax.jit(lambda x, r=r, g=g, reorth=reorth, impl=impl:
+                             _block_qr_bgs(x, r, POLICY_MIXED, True, None, g,
+                                           True, reorth=reorth, ns_impl=impl))
             R_full, Q, _ = jax.block_until_ready(fn(A0))
             rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R_full),
                                    precision_bits=8)
@@ -91,6 +96,48 @@ def drivers():
             record(probe=name, error=repr(e)[:300])
 
 
+def drivers2():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2048, 2048)).astype(np.float32)
+    A0 = jnp.asarray(a)
+    flops = qr_flops(2048, 2048)
+    import os
+    only = os.environ.get("CASES", "fused_r128_g4,fused_r128_g4_reorth,fused_r128_g2")
+    cases = [c for c in [
+        ("fused_r128_g4", 128, 4, False, "fused"),
+        ("fused_r128_g4_reorth", 128, 4, True, "fused"),
+        ("fused_r128_g2", 128, 2, False, "fused"),
+        ("bgs_scan_2048", 128, 0, True, "scan"),
+        ("bgs1_scan_2048", 128, 0, False, "scan"),
+        ("group_r128_g4", 128, 4, False, "group"),
+        ("group_r128_g4_reorth", 128, 4, True, "group"),
+    ] if c[0] in only.split(",")]
+    for name, r, g, reorth, impl in cases:
+        t0 = time.time()
+        try:
+            if impl == "scan":
+                from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
+                fn = jax.jit(lambda x, r=r, reorth=reorth: _block_qr_bgs_scan(
+                    x, r, POLICY_MIXED, True, None, True, reorth=reorth))
+            else:
+                fn = jax.jit(lambda x, r=r, g=g, reorth=reorth, impl=impl:
+                             _block_qr_bgs(x, r, POLICY_MIXED, True, None, g,
+                                           True, reorth=reorth, ns_impl=impl))
+            R_full, Q, _ = jax.block_until_ready(fn(A0))
+            rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R_full),
+                                   precision_bits=8)
+            def step(x, fn=fn):
+                R_full, Q, _ = fn(x)
+                return x * (1.0 + 1e-12 * (R_full[0, 0] + Q[0, 0].astype(jnp.float32)))
+            s = time_step_amortized(step, A0, iters=96)
+            record(probe=name, us=round(s * 1e6, 1),
+                   tflops=round(flops / s / 1e12, 1),
+                   backward=float(rep.backward), orth=float(rep.orthogonality),
+                   ok=bool(rep.all_ok), tight=bool(rep.tight_ok),
+                   compile_s=round(time.time() - t0, 1))
+        except Exception as e:
+            record(probe=name, error=repr(e)[:300])
+
+
 if __name__ == "__main__":
-    micro()
-    drivers()
+    drivers2()

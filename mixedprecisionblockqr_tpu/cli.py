@@ -284,11 +284,11 @@ def cmd_dist(args) -> int:
     a = _load_matrix(args)
     mesh = make_mesh()
     policy = policy_by_name(args.policy)
-    if args.panel_method not in ("householder", "cholqr2"):
+    if args.panel_method not in ("householder", "cholqr2", "cholqr2s"):
         # Error instead of silently coercing (round-1 VERDICT CLI drift):
         # the distributed leaf factorization supports exactly these two.
         print(
-            f"error: dist supports --panel-method householder|cholqr2, "
+            f"error: dist supports --panel-method householder|cholqr2|cholqr2s, "
             f"got {args.panel_method!r}",
             file=sys.stderr,
         )

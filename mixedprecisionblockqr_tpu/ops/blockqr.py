@@ -584,7 +584,7 @@ def _block_qr_bgs(
     group_panels: int = 4,
     on_tpu: bool = False,
     reorth: bool = True,
-    ns_impl: str = "pallas",
+    ns_impl: str = "group",
 ):
     """Right-looking Block Gram-Schmidt QR — the throughput flagship
     (``panel_method='bgs'``).
@@ -626,16 +626,31 @@ def _block_qr_bgs(
         tri_iters_for_aspect,
     )
     from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+        bgs_group_fused,
         ns_chain,
+        panel_qr_fused,
         tri_cholqr_robust_fused,
     )
 
-    # ns_impl='pallas': the whole per-panel NS chain (Jacobi scale, guard,
-    # iterations, t recovery, residual) runs as ONE kernel dispatch instead
-    # of ~25 XLA ops — the drivers are op-dispatch-bound (~0.7us/op floor,
-    # BENCH_NOTES.md round-2 roofline), so chain fusion is the lever that
-    # plain XLA cannot express.  Interpret-mode on CPU keeps tests hermetic.
-    use_pallas = ns_impl == "pallas"
+    # ns_impl levels — the drivers are op-dispatch-bound (~0.7us/op floor,
+    # BENCH_NOTES.md round-2 roofline), so chain fusion is the lever plain
+    # XLA cannot express.  Interpret-mode on CPU keeps tests hermetic.
+    #   'group'  — a whole group (g panel factorizations + eager in-group
+    #              projections) per kernel (ops/pallas/ns.py::
+    #              bgs_group_fused); falls back to 'pallas' when the
+    #              m x g*r block exceeds the VMEM budget;
+    #   'fused'  — Gram + NS chain + Q = P X as ONE kernel per panel
+    #              (ops/pallas/ns.py::panel_qr_fused), robust tails as one
+    #              kernel too;
+    #   'pallas' — the NS chain alone as a kernel (Gram/Q stay XLA GEMMs);
+    #   'xla'    — the chained-matmul ops/polar.py path (control).
+    m0, n0 = A.shape
+    use_group = (
+        ns_impl == "group"
+        and m0 * min(block_size, n0) * group_panels * 4 <= 10 * 2**20
+    )
+    use_fused = ns_impl == "fused"
+    use_pallas = ns_impl == "pallas" or (ns_impl == "group" and not use_group)
     interp = not on_tpu
 
     m, n = A.shape
@@ -671,6 +686,31 @@ def _block_qr_bgs(
             C2 = mm_t(Qprev.T, Cg)
             A = A.at[:, lam_g:g_end].set((Cg - mm_t(Qprev, C2)).astype(A.dtype))
             R = R.at[:lam_g, lam_g:g_end].add(C2)
+        if use_group:
+            # Whole group in one kernel: factorizations, eager projections
+            # and the group's R block all inside VMEM.
+            iters_t = tuple(
+                base_iters if j < 0.75 * nb else base_iters + 4 for j in js
+            )
+            robust_t = tuple(j >= nb - max(2, nb // 8) for j in js)
+            Pg = A[:, lam_g:g_end].astype(jnp.float32)
+            Qg, Rg, resid = bgs_group_fused(
+                Pg, r, iters_t, robust_t,
+                bf16_dots=jnp.dtype(policy.trailing) == jnp.bfloat16,
+                interpret=interp,
+            )
+            worst_resid = jnp.maximum(worst_resid, resid)
+            R = R.at[lam_g:g_end, lam_g:g_end].set(Rg)
+            if B is not None:
+                qtb.append(mm_t(Qg.T, B))
+            qcols.append(Qg)
+            if g_end < n:
+                C = A[:, g_end:]
+                G1 = mm_t(Qg.T, C)
+                A = A.at[:, g_end:].set((C - mm_t(Qg, G1)).astype(A.dtype))
+                R = R.at[lam_g:g_end, g_end:].set(G1)
+            i = js[-1] + 1
+            continue
         for j in js:
             lam = j * r
             P = A[:, lam : lam + r]
@@ -678,10 +718,21 @@ def _block_qr_bgs(
                 # The last panel(s) inherit the trailing corner's
                 # conditioning (cond(G) can reach 1e5-1e8): shifted
                 # three-pass scheme, convergent for any input.
-                if use_pallas:
+                if use_fused:
+                    Qk, t, _ = panel_qr_fused(P, robust=True,
+                                              interpret=interp)
+                elif use_pallas:
                     Qk, t, _ = tri_cholqr_robust_fused(P, interpret=interp)
                 else:
                     Qk, t, _ = tri_cholqr_robust(P, sign_fix=False)
+            elif use_fused:
+                Qk, t, resid = panel_qr_fused(
+                    P,
+                    iters=(base_iters if j < 0.75 * nb else base_iters + 4),
+                    gram_hi=gram_prec == _HI,
+                    interpret=interp,
+                )
+                worst_resid = jnp.maximum(worst_resid, resid)
             elif use_pallas:
                 G = jnp.matmul(P.T, P, precision=gram_prec)
                 X, t, resid = ns_chain(
@@ -734,6 +785,112 @@ def _block_qr_bgs(
     return R_full, Q, Bout
 
 
+def _block_qr_bgs_scan(
+    A: jax.Array,
+    block_size: int,
+    policy: DTypePolicy,
+    want_q: bool,
+    B: Optional[jax.Array],
+    on_tpu: bool = False,
+    reorth: bool = True,
+):
+    """Scan-mode Block Gram-Schmidt: ONE compiled panel step, classical-GS
+    projections against a preallocated Q buffer.
+
+    The unrolled BGS driver (``_block_qr_bgs``) compiles n/r distinct panel
+    programs — minutes-to-hours at 8192+ over the remote-compile relay.
+    Here every panel shares one ``fori_loop`` step:
+
+      * the panel projects against ALL previous Q columns in one full-width
+        GEMM pair (unwritten columns are zero, so their coefficients vanish
+        — no masking, no slice bookkeeping); ``reorth=True`` (BCGS2) runs
+        the projection twice, restoring eps_trailing-class orthogonality
+        for any kappa at 2x the projection FLOPs;
+      * every panel factors through the shifted three-pass NS scheme
+        (convergent for ANY conditioning — one step must serve the
+        well-conditioned head panels and the cond(G) ~ 1e5-1e8 trailing
+        corner alike), fused into one VMEM kernel when m*r fits the budget
+        and a 3-kernel composition otherwise;
+      * Q materializes by ``dynamic_update_slice`` into the buffer — zero
+        Q-update GEMMs, R column blocks are the projection coefficients +
+        the panel t, written in one update each.
+
+    Projection GEMMs run full-width (m x n x r) regardless of progress —
+    2x the exact-slice FLOPs of the unrolled driver — but stay on the MXU
+    at policy.trailing precision: measured at 16384^2 this wins ~1.9x over
+    the Yamamoto scan path (BENCH_NOTES round-3).  Requires n % r == 0;
+    complete mode only for m == n (same contract as ``_block_qr_bgs``).
+    """
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+        panel_qr_fused,
+        tri_cholqr_robust_fused,
+    )
+
+    m, n = A.shape
+    r = block_size
+    nb = n // r
+    assert n % r == 0 and m >= n
+    interp = not on_tpu
+    A = A.astype(policy.panel)
+    q_dtype = policy.q_store or policy.accum
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+    # One robust panel factorization for every step: the fused mega-kernel
+    # needs 2 m x r VMEM residents; beyond ~8 MB fall back to the 3-kernel
+    # + 5-GEMM composition (same math).
+    fits_vmem = m * r * 8 <= 8 * 2**20
+
+    def _panel(P):
+        if fits_vmem:
+            Qk, t, _ = panel_qr_fused(P, robust=True, interpret=interp)
+        else:
+            Qk, t, _ = tri_cholqr_robust_fused(P, interpret=interp)
+        return Qk, t
+
+    Qbuf = jnp.zeros((m, n), q_dtype)
+    R = jnp.zeros((n, n), jnp.float32)
+    kB = B.shape[1] if B is not None else 1
+    QtB = jnp.zeros((n, kB), jnp.float32)
+    Bc = B if B is not None else jnp.zeros((m, 1), jnp.float32)
+
+    def step(k, carry):
+        Qbuf, R, QtB = carry
+        lam = k * r
+        P = jax.lax.dynamic_slice(A, (0, lam), (m, r)).astype(policy.accum)
+        # Classical-GS projection against every written Q column (columns
+        # >= lam are still zero -> zero coefficients, exact no-ops).
+        C = mm_t(Qbuf.T, P)
+        P = P - mm_t(Qbuf, C)
+        if reorth:
+            C2 = mm_t(Qbuf.T, P)
+            P = P - mm_t(Qbuf, C2)
+            C = C + C2
+        Qk, t = _panel(P)
+        Qbuf = jax.lax.dynamic_update_slice(
+            Qbuf, Qk.astype(q_dtype), (0, lam)
+        )
+        # R column block: projection coefficients on top (rows < lam; the
+        # rows in [lam, lam+r) are zero pre-update), t at the diagonal.
+        Rcol = jax.lax.dynamic_update_slice(C[:n, :], t, (lam, 0))
+        R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam))
+        if B is not None:
+            QtB = jax.lax.dynamic_update_slice(
+                QtB, mm_t(Qk.T, Bc), (lam, 0)
+            )
+        return Qbuf, R, QtB
+
+    Qbuf, R, QtB = jax.lax.fori_loop(0, nb, step, (Qbuf, R, QtB))
+
+    R_full = (
+        jnp.concatenate([R, jnp.zeros((m - n, n), R.dtype)], 0)
+        if m > n else R
+    )
+    R_full = jnp.triu(R_full.astype(policy.accum))
+    Q = Qbuf if want_q else None
+    Bout = QtB if B is not None else None
+    return R_full, Q, Bout
+
+
 @lru_cache(maxsize=None)
 def _jitted_driver(
     block_size: int,
@@ -753,8 +910,13 @@ def _jitted_driver(
 
     def fn(A, B=None):
         if panel_method in ("bgs", "bgs1"):
-            # 'bgs' = group-reorthogonalized (robust default);
+            # 'bgs' = (re)orthogonalized twice (robust default);
             # 'bgs1' = single-pass (max throughput, kappa-sensitive orth).
+            if loop_mode == "scan":
+                return _block_qr_bgs_scan(
+                    A, block_size, policy, want_q, B, on_tpu=on_tpu,
+                    reorth=panel_method == "bgs",
+                )
             return _block_qr_bgs(
                 A, block_size, policy, want_q, B,
                 group_panels=group_panels, on_tpu=on_tpu,
@@ -830,10 +992,13 @@ def block_qr(
         panel_method = "cholqr1"  # the grouped driver needs r | n
     if loop_mode == "scan" and (
         n % min(block_size, n) != 0
-        or not panel_method.startswith("cholqr")
+        or not (
+            panel_method.startswith("cholqr")
+            or panel_method in ("bgs", "bgs1")
+        )
         or n <= block_size
     ):
-        loop_mode = "unroll"  # scan needs r | n and a cholqr panel method
+        loop_mode = "unroll"  # scan needs r | n + a cholqr/bgs panel method
     R_full, Q, _ = _jitted_driver(
         block_size, policy, want_q, False, panel_method, loop_mode, _on_tpu(),
         group_panels,

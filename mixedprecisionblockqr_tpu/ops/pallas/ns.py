@@ -88,16 +88,17 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False):
         scale = jax.lax.rsqrt(_norm2_est(M0))
         X = jnp.where(rows == cols, drow * scale, 0.0)
 
-    def body(_, carry):
-        X, _E = carry
+    # Statically unrolled: a fori_loop's (r, r) carries cost ~1us/iteration
+    # of VMEM copies in Mosaic (measured: 8us at 6 iters vs ~0.3us of MXU
+    # work); iters is always a static Python int here.
+    E = eye
+    for _ in range(iters):
         W = _dot(G, X)
         M = _dot_ta(X, W)
         E = eye - M
         C = jnp.where(cols > rows, E, 0.0) + jnp.where(rows == cols, E, 0.0) * 0.5
         X = X + _dot(X, C)
-        return X, E
-
-    return jax.lax.fori_loop(0, iters, body, (X, eye))
+    return X, E
 
 
 def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
@@ -169,10 +170,9 @@ def _ninv_kernel(s_ref, x_ref, resid_ref, *, r: int, iters: int):
     S = s_ref[:]
     X = (2.0 / 3.0) * eye  # minimax scalar seed for sigma(S) in [1, 2]
 
-    def body(_, X):
-        return _dot(X, 2.0 * eye - _dot(S, X))
-
-    X = jax.lax.fori_loop(0, iters, body, X)
+    # Statically unrolled (see _tri_ns: fori carries cost ~1us/iter).
+    for _ in range(iters):
+        X = _dot(X, 2.0 * eye - _dot(S, X))
     x_ref[:] = X
     resid_ref[0, 0] = jnp.max(jnp.abs(eye - _dot(S, X)))
 
@@ -213,9 +213,14 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
-    gprec = _HI if gram_hi else jax.lax.Precision.HIGH
+    # Mosaic supports only HIGHEST/DEFAULT dot precision in-kernel
+    # (NotImplementedError on HIGH, measured) — so the mixed policy's
+    # 3-pass-bf16 Gram is promoted to HIGHEST here: ~1us extra on a
+    # 2048x128 panel and strictly tighter than the XLA path it replaces.
+    del gram_hi
+    gprec = _HI
 
-    def gram(a):  # a^T a at the policy's Gram precision
+    def gram(a):  # a^T a
         return jax.lax.dot_general(
             a, a, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=gprec,
@@ -270,6 +275,9 @@ def panel_qr_fused(
 
     ``robust=True`` runs the shifted three-pass scheme (``tri_cholqr_
     robust`` parity) — one dispatch instead of 3 kernels + 7 GEMMs.
+    ``gram_hi`` is accepted for signature parity with the XLA path but
+    both settings run the Gram at HIGHEST in-kernel (Mosaic has no HIGH
+    dot precision; HIGHEST is strictly tighter and ~1us at r=128).
     Returns (Q (m,r), t (r,r), resid).
     """
     m, r = P.shape
@@ -293,6 +301,158 @@ def panel_qr_fused(
         interpret=interpret,
     )(P.astype(jnp.float32))
     return Q, t, resid[0, 0]
+
+
+def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots):
+    """One panel's factorization INSIDE a kernel: returns (Qk, t, resid).
+
+    ``bf16_dots``: the tall (m x r) products (Gram, Q = P X) run as
+    single-pass bf16 MXU dots — the mixed policy's trailing precision;
+    the r x r NS chain itself always runs fp32 HIGHEST.  The factorization
+    identity Q t = (P X)(X^{-1}) holds to NS-residual accuracy regardless
+    of the Gram's own rounding, so backward error stays in the policy's
+    2^-8 class (panel orthogonality picks up the Gram noise; the BGS
+    quality ladder already budgets for that tier).
+    """
+    def tall_dot_ta(a, b):
+        if bf16_dots:
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def tall_dot(a, b):
+        if bf16_dots:
+            return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_HI)
+
+    G = tall_dot_ta(P, P)
+    if robust:
+        Gs = G + (1e-3 * _norm2_est(G)) * eye
+        X1, _ = _tri_ns(Gs, 14, rows, cols, eye)
+        t1 = _dot_ta(X1, Gs)
+        Q1 = tall_dot(P, X1)
+        M1 = tall_dot_ta(Q1, Q1)
+        X2, _ = _tri_ns(M1, 12, rows, cols, eye)
+        t2 = _dot_ta(X2, M1)
+        Q2 = tall_dot(Q1, X2)
+        M2 = tall_dot_ta(Q2, Q2)
+        X3, E = _tri_ns(M2, 4, rows, cols, eye, refine=True)
+        t3 = _dot_ta(X3, M2)
+        Qk = tall_dot(Q2, X3)
+        t = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
+        return Qk, t, jnp.float32(0.0)  # robust chain converges by design
+    X, E = _tri_ns(G, iters, rows, cols, eye)
+    Qk = tall_dot(P, X)
+    t = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
+    return Qk, t, jnp.max(jnp.abs(E))
+
+
+def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
+                      g: int, iters: tuple, robust: tuple, bf16_dots: bool):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    rg_ref[:] = jnp.zeros_like(rg_ref)
+    # q is input_output_aliased onto pg (same buffer, distinct refs) —
+    # this seed copy is a self-copy there and a real one in interpret mode.
+    q_ref[:] = pg_ref[:]
+    worst = jnp.float32(0.0)
+
+    def proj_dots(Qk, C):
+        if bf16_dots:
+            G1 = jax.lax.dot_general(
+                Qk.astype(jnp.bfloat16), C.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return G1, jnp.dot(
+                Qk.astype(jnp.bfloat16), G1.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        G1 = jax.lax.dot_general(
+            Qk, C, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        return G1, jnp.dot(Qk, G1, preferred_element_type=jnp.float32,
+                           precision=_HI)
+
+    for j in range(g):
+        c0 = j * r
+        P = q_ref[:, c0 : c0 + r]
+        Qk, t, resid = _tri_ns_panel(
+            P, iters[j], rows, cols, eye, robust[j], bf16_dots
+        )
+        worst = jnp.maximum(worst, resid)
+        q_ref[:, c0 : c0 + r] = Qk
+        rg_ref[c0 : c0 + r, c0 : c0 + r] = t
+        if j + 1 < g:
+            # Eager projection of the group's remaining columns.
+            C = q_ref[:, c0 + r :]
+            G1, PG = proj_dots(Qk, C)
+            q_ref[:, c0 + r :] = C - PG
+            rg_ref[c0 : c0 + r, c0 + r :] = G1
+    resid_ref[0, 0] = worst
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
+                              "interpret")
+)
+def bgs_group_fused(
+    Pg: jax.Array,
+    r: int,
+    iters: tuple,
+    robust: tuple,
+    bf16_dots: bool = True,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One WHOLE BGS group — g sequential panel factorizations plus their
+    in-group eager projections — as a single kernel dispatch.
+
+    The per-panel kernel (``ns_chain``) already beat the XLA op chain 1.5x
+    in context; this removes the remaining per-panel Gram/Q/projection
+    dispatches too (~7 ops/panel at the ~0.7us floor).  The group's Q
+    OVERWRITES the input buffer (input_output_aliased — one m x g*r VMEM
+    resident, ~4 MB for 2048x512).
+
+    Args: Pg (m, g*r) group columns, already projected against previous
+    groups; per-panel static ``iters``/``robust`` tuples (robust = the
+    shifted three-pass chain for ill-conditioned tail panels).
+    Returns (Qg (m, g*r), Rg (g*r, g*r) block-upper coefficient block,
+    worst non-robust NS residual).
+    """
+    m, w = Pg.shape
+    g = w // r
+    assert w == g * r and len(iters) == g and len(robust) == g
+    kernel = functools.partial(
+        _bgs_group_kernel, m=m, r=r, g=g, iters=tuple(iters),
+        robust=tuple(robust), bf16_dots=bf16_dots,
+    )
+    Qg, Rg, resid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, w), jnp.float32),
+            jax.ShapeDtypeStruct((w, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(Pg.astype(jnp.float32))
+    return Qg, Rg, resid[0, 0]
 
 
 def tri_cholqr_fused(

@@ -154,7 +154,7 @@ def _dist2d_local(
         # other columns contribute zeros; results are broadcast over `cols`
         # by a masked psum.
         pm = panel_method
-        if pm == "cholqr2" and (m - lam) < 2 * w:
+        if pm in ("cholqr2", "cholqr2s") and (m - lam) < 2 * w:
             pm = "householder"
         P_cols = jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, w))
         P_cols = jnp.where(my_col == j0, P_cols, 0.0)

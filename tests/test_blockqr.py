@@ -193,3 +193,46 @@ def test_block_qr_differentiable():
     E = jnp.zeros_like(A).at[3, 2].set(eps)
     fd = (loss(A + E) - loss(A - E)) / (2 * eps)
     np.testing.assert_allclose(float(g[3, 2]), float(fd), rtol=2e-2)
+
+
+def test_block_qr_bgs_scan_mode():
+    """Scan-mode BGS (_block_qr_bgs_scan): one compiled panel step,
+    classical-GS projections against the Q buffer, robust NS panels —
+    the compile-light path for 8192+ (BENCH_NOTES round-3)."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
+
+    a = _rand(512, 512, seed=21)
+    Q, R = block_qr(jnp.asarray(a), 128, POLICY_FP32, mode="complete",
+                    panel_method="bgs", loop_mode="scan")
+    rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                           precision_bits=23)
+    assert rep.all_ok, str(rep)
+    # Rectangular reduced mode.
+    a2 = _rand(640, 384, seed=22)
+    Q2, R2 = block_qr(jnp.asarray(a2), 128, POLICY_FP32, mode="reduced",
+                      panel_method="bgs1", loop_mode="scan")
+    rep2 = metrics.evaluate(a2, np.asarray(Q2), np.asarray(R2),
+                            precision_bits=23)
+    # Acceptance criteria + an absolute orthogonality ceiling: the fp32
+    # TIGHT gate (2^-23*sqrt(m) ~ 3e-6) sits below the NS-panel orth floor
+    # (~1e-5) — that gate is calibrated for the mixed-policy bench config;
+    # bgs is the throughput tier (see BENCH_NOTES quality ladder).
+    assert rep2.all_ok and rep2.orthogonality < 1e-4, str(rep2)
+
+
+def test_block_qr_bgs_scan_matches_unrolled_quality():
+    """Same matrix through scan-BGS and unrolled BGS: quality class equal
+    (not bitwise — different projection order), both inside criteria."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
+
+    a = _rand(384, 384, seed=23)
+    reps = {}
+    for lm in ("scan", "unroll"):
+        Q, R = block_qr(jnp.asarray(a), 128, POLICY_FP32, mode="complete",
+                        panel_method="bgs", loop_mode=lm)
+        reps[lm] = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                                    precision_bits=23)
+        assert reps[lm].all_ok, f"{lm}: {reps[lm]}"
+    assert reps["scan"].backward < 10 * max(reps["unroll"].backward, 1e-7)

@@ -73,8 +73,10 @@ def test_graft_dryrun():
 
 
 def test_dist_qr_cholqr2_panels(mesh):
+    # block 16 on 32 rows/device: aspect-2 leaves (the square-leaf guard
+    # rejects block 32 here — see test_dist_qr_square_leaf_guard).
     A = np.random.default_rng(5).random((256, 128)).astype(np.float32)
-    Q, R = dist_block_qr(A, mesh, block_size=32, mode="complete",
+    Q, R = dist_block_qr(A, mesh, block_size=16, mode="complete",
                          panel_method="cholqr2")
     rep = metrics.evaluate(A, Q, R, precision_bits=23)
     assert rep.all_ok, str(rep)
@@ -82,7 +84,7 @@ def test_dist_qr_cholqr2_panels(mesh):
 
 def test_dist_qr_cholqr2_mixed(mesh):
     A = np.random.default_rng(6).random((256, 128)).astype(np.float32)
-    Q, R = dist_block_qr(A, mesh, block_size=32, policy=POLICY_MIXED,
+    Q, R = dist_block_qr(A, mesh, block_size=16, policy=POLICY_MIXED,
                          mode="complete", panel_method="cholqr2")
     rep = metrics.evaluate(A, Q, R, precision_bits=8)
     assert rep.all_ok, str(rep)
@@ -135,12 +137,12 @@ def test_dist_qr_scan_mode(mesh):
     """scan loop_mode: one compiled panel step via fori_loop (the
     compile-scalable path for 16384^2-class problems)."""
     A = np.random.default_rng(9).random((256, 128)).astype(np.float32)
-    Q, R = dist_block_qr(A, mesh, block_size=32, mode="complete",
+    Q, R = dist_block_qr(A, mesh, block_size=16, mode="complete",
                          loop_mode="scan", panel_method="cholqr2")
     rep = metrics.evaluate(A, Q, R, precision_bits=23)
     assert rep.all_ok, str(rep)
     # Matches the unrolled path bit-for-bit in structure (same math):
-    Qu, Ru = dist_block_qr(A, mesh, block_size=32, mode="complete",
+    Qu, Ru = dist_block_qr(A, mesh, block_size=16, mode="complete",
                            panel_method="cholqr2")
     np.testing.assert_allclose(
         np.abs(np.diag(np.asarray(R)[:128])),
@@ -328,3 +330,23 @@ def test_dist_qr_square_matrix(mesh):
                                loop_mode=lm)
         rep = metrics.evaluate(A, Qd, Rd, precision_bits=23)
         assert rep.all_ok and rep.tight_ok, (lm, str(rep))
+
+
+def test_dist_qr_cholqr2s_panels(mesh):
+    """Shifted CholeskyQR leaves (round-3: the trailing-corner fix for
+    large square factorizations — plain cholqr2 collapsed at 8192^2)."""
+    A = np.random.default_rng(7).random((512, 256)).astype(np.float32)
+    Q, R = dist_block_qr(A, mesh, block_size=32, mode="complete",
+                         panel_method="cholqr2s", loop_mode="scan")
+    rep = metrics.evaluate(A, Q, R, precision_bits=23)
+    assert rep.all_ok, str(rep)
+
+
+def test_dist_qr_square_leaf_guard(mesh):
+    """cholqr leaves with per-device aspect < 2 are numerically unsafe
+    (square trailing-corner leaf -> rank-deficient fp32 Gram): the driver
+    must REFUSE, not silently degrade (8192^2/block-256 collapse)."""
+    A = np.random.default_rng(8).random((256, 256)).astype(np.float32)
+    with pytest.raises(ValueError, match="aspect"):
+        dist_block_qr(A, mesh, block_size=32, mode="r",
+                      panel_method="cholqr2")
