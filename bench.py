@@ -38,11 +38,12 @@ BLOCK = 128
 # Mosaic kernel (ops/pallas/ns.py::bgs_group_fused; the drivers are
 # op-dispatch-bound at ~0.7us/XLA-op, so chain fusion is what XLA alone
 # cannot express).  Face-off at this config (experiments/r3_ns_kernel
-# .jsonl): 330us / 87 TFLOP/s vs 574us / 50 for the round-2 XLA chain and
+# .jsonl): group-of-8 292us / 98 TFLOP/s (the 50%-of-peak target),
+# group-of-4 330us / 87, vs 574us / 50 for the round-2 XLA chain and
 # 990us / 29 for round-1 cholqr1.  'bgs' (reorthogonalized) and 'polar'
 # are the tighter-orthogonality tiers; 'householder' the robust tier.
 PANEL_METHOD = "bgs1"
-GROUP_PANELS = 4
+GROUP_PANELS = 8
 
 
 def main() -> int:

@@ -111,6 +111,7 @@ def drivers2():
         ("bgs1_scan_2048", 128, 0, False, "scan"),
         ("group_r128_g4", 128, 4, False, "group"),
         ("group_r128_g4_reorth", 128, 4, True, "group"),
+        ("group_r128_g8", 128, 8, False, "group"),
     ] if c[0] in only.split(",")]
     for name, r, g, reorth, impl in cases:
         t0 = time.time()

@@ -49,6 +49,7 @@ from mixedprecisionblockqr_tpu.ops.blockqr import (
 )
 from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 from mixedprecisionblockqr_tpu.ops import metrics
+from mixedprecisionblockqr_tpu.ops.givens import givens_qr
 from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_batched, tsqr_sharded
 from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
 from mixedprecisionblockqr_tpu.parallel.caqr import caqr
@@ -71,6 +72,7 @@ __all__ = [
     "apply_block_reflector_left_t",
     "apply_block_reflector_right",
     "block_qr",
+    "givens_qr",
     "block_qr_batched",
     "block_qr_qtb",
     "block_recursive_qr",

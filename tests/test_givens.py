@@ -1,0 +1,40 @@
+"""Givens-rotation QR (ops/givens.py) — the reference paper's alternative
+elimination (LaTeX/QR_Decomposition.tex, Givens section), implemented as
+log-depth vectorized rotation trees.  Oracle: numpy reconstruction."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mixedprecisionblockqr_tpu.ops import metrics
+from mixedprecisionblockqr_tpu.ops.givens import givens_qr, givens_rotation
+
+
+def test_givens_rotation_zeroes_second_component():
+    c, s = givens_rotation(jnp.float32(3.0), jnp.float32(4.0))
+    G = np.array([[c, -s], [s, c]], dtype=np.float32)
+    np.testing.assert_allclose(G @ np.array([3.0, 4.0]), [5.0, 0.0],
+                               atol=1e-6)
+    # Degenerate b = 0: identity rotation, no NaN.
+    c0, s0 = givens_rotation(jnp.float32(0.0), jnp.float32(0.0))
+    assert float(c0) == 1.0 and float(s0) == 0.0
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 8), (7, 5), (12, 12), (5, 9)])
+def test_givens_qr_reconstructs(shape):
+    rng = np.random.default_rng(sum(shape))
+    A = rng.standard_normal(shape).astype(np.float32)
+    Q, R = givens_qr(A, mode="reduced")
+    k = min(shape)
+    assert Q.shape == (shape[0], k) and R.shape == (k, shape[1])
+    np.testing.assert_allclose(np.asarray(Q) @ np.asarray(R), A, atol=1e-5)
+    assert np.max(np.abs(np.asarray(Q).T @ np.asarray(Q) - np.eye(k))) < 1e-5
+    assert np.allclose(np.tril(np.asarray(R), -1), 0.0)
+
+
+def test_givens_qr_complete_criteria():
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((24, 16)).astype(np.float32)
+    Q, R = givens_qr(A, mode="complete")
+    rep = metrics.evaluate(A, Q, R, precision_bits=23)
+    assert rep.all_ok, str(rep)
