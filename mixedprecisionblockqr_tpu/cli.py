@@ -61,6 +61,11 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
                    choices=["unroll", "scan"],
                    help="scan = one compiled panel step (fast compile at "
                         "large n/r, ~2-3x slower runtime)")
+    p.add_argument(
+        "--group-panels", type=int, default=4,
+        help="reflector/panel aggregation factor for bgs/bgs1/polar "
+             "(8 = the bench headline config at 2048^2)",
+    )
     p.add_argument("--log-dir", default="log")
 
 
@@ -79,6 +84,7 @@ def cmd_qr(args) -> int:
     Q, R = block_qr(
         a, block_size=args.block_size, policy=policy, mode="complete",
         panel_method=args.panel_method, loop_mode=args.loop_mode,
+        group_panels=args.group_panels,
     )
     rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
     dt = time.perf_counter() - t0  # includes compile; see `bench` for rates
@@ -103,7 +109,7 @@ def cmd_bench(args) -> int:
     import jax.numpy as jnp
 
     from mixedprecisionblockqr_tpu.ops import metrics
-    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_traced, block_qr
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
     from mixedprecisionblockqr_tpu.ops.policy import policy_by_name
     from mixedprecisionblockqr_tpu.utils.flops import qr_flops
     from mixedprecisionblockqr_tpu.utils.logging import ResultsLogger
@@ -119,33 +125,33 @@ def cmd_bench(args) -> int:
         Q, R = block_qr(
             A, block_size=min(args.block_size, s), policy=policy,
             mode="complete", panel_method=args.panel_method,
-            loop_mode=args.loop_mode,
+            loop_mode=args.loop_mode, group_panels=args.group_panels,
         )
         rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
 
         from mixedprecisionblockqr_tpu.ops.blockqr import (
-            _block_qr_scan,
+            _jitted_driver,
             _on_tpu,
         )
 
-        use_scan = (
-            args.loop_mode == "scan"
-            and s % min(args.block_size, s) == 0
-            and args.panel_method.startswith("cholqr")
-            and s > args.block_size
+        # Same dispatch as block_qr (handles bgs/polar/cholqr/scan alike)
+        # so the timed program is exactly the public driver's.
+        r_eff = min(args.block_size, s)
+        lm = args.loop_mode
+        if lm == "scan" and (
+            s % r_eff != 0
+            or not (args.panel_method.startswith("cholqr")
+                    or args.panel_method in ("bgs", "bgs1"))
+            or s <= r_eff
+        ):
+            lm = "unroll"  # same normalization as block_qr
+        drv = _jitted_driver(
+            r_eff, policy, True, False, args.panel_method, lm, _on_tpu(),
+            args.group_panels,
         )
 
-        def step(x, s=s, use_scan=use_scan):
-            if use_scan:
-                R_full, Qc, _ = _block_qr_scan(
-                    x, min(args.block_size, s), policy, True, None,
-                    args.panel_method,
-                )
-            else:
-                R_full, Qc, _ = _block_qr_traced(
-                    x, min(args.block_size, s), policy, True, None,
-                    args.panel_method, _on_tpu(),
-                )
+        def step(x, drv=drv):
+            R_full, Qc, _ = drv(x)
             return x * (1.0 + 1e-12 * R_full[0, 0])
 
         if args.profile_dir:

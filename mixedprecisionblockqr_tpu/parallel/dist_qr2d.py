@@ -290,6 +290,15 @@ def dist_block_qr_2d(
     dr, dc = mesh.shape[rows_axis], mesh.shape[cols_axis]
     if m % dr or n % dc:
         raise ValueError(f"shape {A.shape} must divide over mesh ({dr},{dc})")
+    if panel_method.startswith("cholqr") and (m // dr) < 2 * min(block_size, n):
+        # Same square-leaf hazard as the 1-D driver (dist_qr.py): a
+        # CholeskyQR leaf with per-device aspect < 2 goes rank-deficient
+        # in fp32 on the trailing corner — refuse rather than degrade.
+        raise ValueError(
+            f"cholqr leaves need per-device aspect >= 2: {m // dr} "
+            f"rows/device vs block_size {block_size}; use block_size <= "
+            f"{m // dr // 2} or panel_method='householder'"
+        )
     with_b = b is not None
     A = jax.device_put(A, NamedSharding(mesh, P(rows_axis, cols_axis)))
     B = (
