@@ -16,8 +16,11 @@ def record(**row):
     print(row, flush=True)
 
 def main():
-    for n, pol, pname in [(4096, POLICY_MIXED, "mixed"),
-                          (8192, POLICY_MIXED_FAST, "mixed_fast")]:
+    import os
+    todo = os.environ.get("SIZES", "4096,8192")
+    table = {"4096": (4096, POLICY_MIXED, "mixed"),
+             "8192": (8192, POLICY_MIXED_FAST, "mixed_fast")}
+    for n, pol, pname in [table[t] for t in todo.split(",")]:
         t0 = time.time()
         try:
             A0 = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)

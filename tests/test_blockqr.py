@@ -236,3 +236,21 @@ def test_block_qr_bgs_scan_matches_unrolled_quality():
                                     precision_bits=23)
         assert reps[lm].all_ok, f"{lm}: {reps[lm]}"
     assert reps["scan"].backward < 10 * max(reps["unroll"].backward, 1e-7)
+
+
+def test_block_qr_bgs_scan_qtb():
+    """Scan-BGS B path: Q^T b accumulates per panel block without
+    materializing Q in the caller."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
+
+    rng = np.random.default_rng(24)
+    a = rng.standard_normal((384, 384)).astype(np.float32)
+    b = rng.standard_normal((384, 3)).astype(np.float32)
+    import jax
+
+    R, Q, QtB = jax.jit(
+        lambda x, y: _block_qr_bgs_scan(
+            x, 128, POLICY_FP32, True, y, False, reorth=True)
+    )(jnp.asarray(a), jnp.asarray(b))
+    ref = np.asarray(Q).T @ b
+    np.testing.assert_allclose(np.asarray(QtB), ref, atol=1e-4)
