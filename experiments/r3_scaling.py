@@ -24,8 +24,9 @@ def main():
         t0 = time.time()
         try:
             A0 = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32)
-            fn = jax.jit(lambda x, pol=pol: _block_qr_bgs(
-                x, 128, pol, True, None, 4, True, reorth=False))
+            g = int(os.environ.get("GROUP", "4"))
+            fn = jax.jit(lambda x, pol=pol, g=g: _block_qr_bgs(
+                x, 128, pol, True, None, g, True, reorth=False))
             R_full, Q, _ = jax.block_until_ready(fn(A0))
             backward = float(metrics.backward_error(A0, Q, R_full))
             orth = float(metrics.orthogonality_error(Q))
@@ -33,12 +34,12 @@ def main():
                 R_full, Q, _ = fn(x)
                 return x * (1.0 + 1e-12 * (R_full[0, 0] + Q[0, 0].astype(jnp.float32)))
             s = time_step_amortized(step, A0, iters=16 if n <= 4096 else 4)
-            record(probe=f"bgs1_{n}_{pname}", us=round(s * 1e6, 1),
+            record(probe=f"bgs1_{n}_{pname}_g{g}", us=round(s * 1e6, 1),
                    tflops=round(qr_flops(n, n) / s / 1e12, 1),
                    backward=backward, orth=orth,
                    compile_s=round(time.time() - t0, 1))
         except Exception as e:
-            record(probe=f"bgs1_{n}_{pname}", error=repr(e)[:300])
+            record(probe=f"bgs1_{n}_{pname}_gX", error=repr(e)[:300])
 
 if __name__ == "__main__":
     main()

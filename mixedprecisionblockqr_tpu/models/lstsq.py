@@ -132,12 +132,17 @@ def lstsq(
     policy: DTypePolicy = POLICY_FP32,
     method: str = "blocked",
     refine_steps: int = 0,
+    panel_method: str = "householder",
 ):
     """Minimize ||A x - b||_2 via QR (the reference's
     ``linear_least_square``, ``python/linear_least_sqare.py:5-22``).
 
     method='blocked': block QR with b threaded through (no explicit Q).
     method='tsqr': TSQR path for very tall A (m >> n).
+    panel_method: forwarded to the blocked driver — 'bgs1'/'bgs'/'polar'
+        select the fused-kernel throughput tiers (solves keep the
+        'householder' robust default: x accuracy is kappa-limited and
+        solver workloads skew ill-conditioned).
     refine_steps: iterative-refinement sweeps (solve A dx = r on the SAME
         factorization, x += dx) — recovers solution accuracy on
         ill-conditioned systems where a single fp32/mixed solve is
@@ -168,6 +173,7 @@ def lstsq(
             r = bc - jnp.matmul(A, x, precision=_HI)
             x = x + back_substitution(Rc, apply_qt(factors, r)[:n, :])
         return x[:, 0] if squeeze else x
-    R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy)
+    R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy,
+                          panel_method=panel_method)
     Rn = R[:n, :] if R.shape[0] >= n else R
     return back_substitution(Rn, qtb[:n] if qtb.ndim == 1 else qtb[:n, :])

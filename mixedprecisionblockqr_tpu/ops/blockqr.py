@@ -281,6 +281,7 @@ def _block_qr_scan(
     want_q: bool,
     B: Optional[jax.Array],
     panel_method: str = "cholqr1",
+    on_tpu: bool = False,
 ):
     """Scan-mode driver: ONE compiled panel step iterated by ``fori_loop``.
 
@@ -326,8 +327,18 @@ def _block_qr_scan(
         S = jnp.eye(r, dtype=Qs.dtype) - (Q1 * D[None, :]).T
         # ONE program serves every panel, so size the Newton chain for the
         # squarest in-loop panel (aspect can reach 2; sigma_min(S) can be
-        # small there) and arm the residual-checked fallback.
-        Sinv = newton_inv(S, iters=12, check=True)
+        # small there) and arm the residual-checked fallback.  On TPU the
+        # whole chain is one Mosaic kernel (~24 dispatches saved/panel);
+        # the residual-guarded LU fallback stays identical.
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.ns import ninv_chain
+
+            Xn, resid = ninv_chain(S, iters=12)
+            Sinv = jax.lax.cond(
+                resid < 1e-3, lambda s: Xn, jnp.linalg.inv, S
+            )
+        else:
+            Sinv = newton_inv(S, iters=12, check=True)
         # Full-width left update A <- H^T A.
         G = mm_t(Y.T, A)
         A = (A - mm_t(Y, jnp.matmul(Sinv.T, G, precision=_HI))).astype(A.dtype)
@@ -458,21 +469,40 @@ def _block_qr_grouped(
             if tail:
                 # Square-ish tail panels inherit the trailing corner's
                 # conditioning: shifted three-pass scheme (convergent for
-                # any input, reconstruction-exact).
-                from mixedprecisionblockqr_tpu.ops.polar import (
-                    tri_cholqr_robust,
-                )
+                # any input, reconstruction-exact).  On TPU the chains run
+                # as Mosaic kernels (ops/pallas/ns.py; the op-dispatch
+                # argument of BENCH_NOTES round-3 applies to this driver
+                # identically).
+                if on_tpu:
+                    from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+                        tri_cholqr_robust_fused,
+                    )
 
-                Qs, t, _ = tri_cholqr_robust(P)
+                    Qs, t, _ = tri_cholqr_robust_fused(P, sign_fix=True)
+                else:
+                    from mixedprecisionblockqr_tpu.ops.polar import (
+                        tri_cholqr_robust,
+                    )
+
+                    Qs, t, _ = tri_cholqr_robust(P)
             else:
                 iters = (
                     polar_iters
                     if polar_iters is not None
                     else tri_iters_for_aspect((m - lam) / r)
                 )
-                Qs, t, _, resid = tri_cholqr(
-                    P, iters=iters, check=False, return_resid=True
-                )
+                if on_tpu:
+                    from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+                        tri_cholqr_fused,
+                    )
+
+                    Qs, t, _, resid = tri_cholqr_fused(
+                        P, iters=iters, sign_fix=True
+                    )
+                else:
+                    Qs, t, _, resid = tri_cholqr(
+                        P, iters=iters, check=False, return_resid=True
+                    )
                 worst_resid = jnp.maximum(worst_resid, resid)
             if m - lam == r:
                 # SQUARE final panel: H = Qs exactly.  The Yamamoto S =
@@ -498,15 +528,23 @@ def _block_qr_grouped(
                     newton_iters_for_aspect,
                 )
 
-                W = jnp.matmul(
-                    Y,
-                    newton_inv(
-                        S,
-                        iters=newton_iters_for_aspect(aspect),
-                        check=aspect < 4,
-                    ),
-                    precision=_HI,
-                )
+                ni = newton_iters_for_aspect(aspect)
+                if on_tpu:
+                    from mixedprecisionblockqr_tpu.ops.pallas.ns import (
+                        ninv_chain,
+                    )
+
+                    Xn, nresid = ninv_chain(S, iters=ni)
+                    Sinv = (
+                        jax.lax.cond(
+                            nresid < 1e-3, lambda s: Xn, jnp.linalg.inv, S
+                        )
+                        if aspect < 4
+                        else Xn
+                    )
+                else:
+                    Sinv = newton_inv(S, iters=ni, check=aspect < 4)
+                W = jnp.matmul(Y, Sinv, precision=_HI)
             A = A.at[lam:, lam : lam + r].set(
                 jnp.concatenate(
                     [t, jnp.zeros((m - lam - r, r), jnp.float32)], 0
@@ -645,8 +683,15 @@ def _block_qr_bgs(
     #   'pallas' — the NS chain alone as a kernel (Gram/Q stay XLA GEMMs);
     #   'xla'    — the chained-matmul ops/polar.py path (control).
     m0, n0 = A.shape
+    # Group-kernel guard: the aliased m x g*r buffer plus the in-kernel
+    # eager-projection temporaries must fit VMEM, and the REMOTE Mosaic
+    # compile of m=4096-class group kernels crashes the compile helper
+    # (HTTP 500, reproduced twice) where m=2048 compiles fine — so the
+    # group path is capped at m <= 3072 and falls back to the per-panel
+    # chain kernels ('pallas') beyond it.
     use_group = (
         ns_impl == "group"
+        and m0 <= 3072
         and m0 * min(block_size, n0) * group_panels * 4 <= 10 * 2**20
     )
     use_fused = ns_impl == "fused"
@@ -688,7 +733,11 @@ def _block_qr_bgs(
             R = R.at[:lam_g, lam_g:g_end].add(C2)
         if use_group:
             # Whole group in one kernel: factorizations, eager projections
-            # and the group's R block all inside VMEM.
+            # and the group's R block all inside VMEM.  Tail panels keep
+            # the in-kernel shifted three-pass chain: a deep PLAIN chain
+            # (24 iters) was tried for the aspect-2 panel and NaN-poisoned
+            # at 1024^2 — its cond(G) reaches the 1e7-1e8 class where only
+            # the shift converges.
             iters_t = tuple(
                 base_iters if j < 0.75 * nb else base_iters + 4 for j in js
             )
@@ -929,7 +978,7 @@ def _jitted_driver(
             )
         if loop_mode == "scan":
             return _block_qr_scan(A, block_size, policy, want_q, B,
-                                  panel_method)
+                                  panel_method, on_tpu)
         return _block_qr_traced(A, block_size, policy, want_q, B,
                                 panel_method, on_tpu)
 

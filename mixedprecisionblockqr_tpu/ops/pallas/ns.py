@@ -459,19 +459,29 @@ def tri_cholqr_fused(
     P: jax.Array,
     iters: int = 10,
     gram_precision=_HI,
+    sign_fix: bool = False,
     interpret: bool = False,
 ):
-    """Drop-in for ``ops/polar.py::tri_cholqr(sign_fix=False, check=False,
+    """Drop-in for ``ops/polar.py::tri_cholqr(check=False,
     return_resid=True)`` with the whole NS chain as one dispatch:
-    Gram GEMM -> ns_chain kernel -> Q GEMM.  Returns (Qs, t, X, resid)."""
+    Gram GEMM -> ns_chain kernel -> Q GEMM.  ``sign_fix`` applies the
+    Yamamoto column convention (diag of the top r x r block <= 0) exactly
+    as the XLA path does.  Returns (Qs, t, X, resid)."""
+    r = P.shape[1]
     G = jnp.matmul(P.T, P, precision=gram_precision)
     X, t, resid = ns_chain(G, iters=iters, interpret=interpret)
+    if sign_fix:
+        Q1 = jnp.matmul(P[:r, :], X, precision=_HI)
+        D = jnp.where(jnp.diag(Q1) > 0, -1.0, 1.0).astype(jnp.float32)
+        X = X * D[None, :]
+        t = D[:, None] * t
     Q = jnp.matmul(P, X, precision=gram_precision)
     return Q, t, X, resid
 
 
 def tri_cholqr_robust_fused(
     P: jax.Array,
+    sign_fix: bool = False,
     interpret: bool = False,
 ):
     """Fused counterpart of ``tri_cholqr_robust`` (shifted three-pass) for
@@ -498,4 +508,12 @@ def tri_cholqr_robust_fused(
     t21 = jnp.matmul(t2, t1, precision=_HI)
     t = jnp.triu(jnp.matmul(t3, t21, precision=_HI))
     X = jnp.matmul(jnp.matmul(X1, X2, precision=_HI), X3, precision=_HI)
+    if sign_fix:
+        # Yamamoto column convention, applied at the end (equivalent to
+        # flipping inside pass 2: Q -> Q D, t -> D t, X -> X D).
+        r = P.shape[1]
+        D = jnp.where(jnp.diag(Qs[:r, :]) > 0, -1.0, 1.0).astype(jnp.float32)
+        Qs = Qs * D[None, :]
+        t = D[:, None] * t
+        X = X * D[None, :]
     return Qs, t, X

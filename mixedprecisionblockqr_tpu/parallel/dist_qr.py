@@ -63,9 +63,11 @@ def _panel_reflector(
     axis: str,
     panel_method: str = "householder",
     square_final: bool = False,
+    on_tpu: bool = False,
 ):
     return _panel_reflector_cols(
-        A_loc[:, lam : lam + w], lam, w, h, axis, panel_method, square_final
+        A_loc[:, lam : lam + w], lam, w, h, axis, panel_method, square_final,
+        on_tpu,
     )
 
 
@@ -77,6 +79,7 @@ def _panel_reflector_cols(
     axis: str,
     panel_method: str = "householder",
     square_final: bool = False,
+    on_tpu: bool = False,
 ):
     """Factor panel columns [lam, lam+w) across devices (``P_cols`` already
     sliced; ``lam`` may be a traced scalar in scan mode).
@@ -166,7 +169,15 @@ def _panel_reflector_cols(
     # distributed panels share one program across all lam, so size the
     # chain generously and arm the residual-checked LU fallback — the
     # collectives dominate per-panel cost here anyway.
-    Sinv = newton_inv(S, iters=12, check=True)
+    if on_tpu:
+        # Fused Mosaic chain (ops/pallas/ns.py) — same math, one dispatch
+        # per panel instead of ~24; LU fallback semantics preserved.
+        from mixedprecisionblockqr_tpu.ops.pallas.ns import ninv_chain
+
+        Xn, nresid = ninv_chain(S, iters=12)
+        Sinv = jax.lax.cond(nresid < 1e-3, lambda s: Xn, jnp.linalg.inv, S)
+    else:
+        Sinv = newton_inv(S, iters=12, check=True)
     return Y_loc, Sinv, R_pan
 
 
@@ -182,6 +193,7 @@ def _dist_qr_local(
     policy: DTypePolicy,
     panel_method: str = "householder",
     loop_mode: str = "unroll",
+    on_tpu: bool = False,
 ):
     """SPMD body (inside shard_map): the full panel loop on local shards."""
     h = A_loc.shape[0]
@@ -216,7 +228,7 @@ def _dist_qr_local(
             lam = k * r
             P_loc = jax.lax.dynamic_slice_in_dim(A_loc, lam, r, axis=1)
             Y, Sinv, _ = _panel_reflector_cols(
-                P_loc, lam, r, h, axis, panel_method
+                P_loc, lam, r, h, axis, panel_method, on_tpu=on_tpu
             )
             G = jax.lax.psum(mm_t(Y.T, A_loc), axis)
             M = jnp.matmul(Sinv.T, G, precision=_HI)
@@ -264,7 +276,7 @@ def _dist_qr_local(
         lam_last = n - r
         Yl, Sl, _ = _panel_reflector(
             A_loc, lam_last, r, h, axis, "householder",
-            square_final=(m - lam_last == r),
+            square_final=(m - lam_last == r), on_tpu=on_tpu,
         )
         Gl = jax.lax.psum(mm_t(Yl.T, A_loc), axis)
         A_loc = (A_loc - mm_t(Yl, jnp.matmul(Sl.T, Gl, precision=_HI))).astype(
@@ -291,7 +303,8 @@ def _dist_qr_local(
         if pm in ("cholqr2", "cholqr2s") and (m - lam) < 2 * w:
             pm = "householder"
         Y, Sinv, R_pan = _panel_reflector(
-            A_loc, lam, w, h, axis, pm, square_final=(m - lam == w)
+            A_loc, lam, w, h, axis, pm, square_final=(m - lam == w),
+            on_tpu=on_tpu,
         )
 
         # Write the panel result: rows in [lam, lam+w) <- R_pan; rows below
@@ -342,6 +355,7 @@ def _jitted_dist_qr(
     mesh_key,
     panel_method: str = "householder",
     loop_mode: str = "unroll",
+    on_tpu: bool = False,
 ):
     mesh = _MESHES[mesh_key]
 
@@ -357,6 +371,7 @@ def _jitted_dist_qr(
             policy=policy,
             panel_method=panel_method,
             loop_mode=loop_mode,
+            on_tpu=on_tpu,
         )
         outs = [A_out]
         outs.append(Q_out if want_q else jnp.zeros((1, 1), A_out.dtype))
@@ -438,9 +453,11 @@ def dist_block_qr(
         else jax.device_put(jnp.zeros((m, 1), policy.accum), sharding)
     )
 
+    from mixedprecisionblockqr_tpu.ops.blockqr import _on_tpu
+
     fn = _jitted_dist_qr(
         m, n, d, block_size, policy, want_q, with_b, axis, _mesh_key(mesh),
-        panel_method, loop_mode,
+        panel_method, loop_mode, _on_tpu(),
     )
     A_out, Qt, B_out = fn(A, Q0, B)
     if with_b:

@@ -51,6 +51,7 @@ def _dist2d_local(
     policy: DTypePolicy,
     panel_method: str,
     loop_mode: str = "unroll",
+    on_tpu: bool = False,
 ):
     h, wc = A_loc.shape                       # local (m/dr, n/dc) block
     r = min(block_size, n)
@@ -86,7 +87,8 @@ def _dist2d_local(
             P_cols = jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, r))
             P_cols = jnp.where(my_col == j0, P_cols, 0.0)
             Y, Sinv, _ = _panel_reflector_cols(
-                P_cols, lam, r, h, rows_axis, pm, square_final
+                P_cols, lam, r, h, rows_axis, pm, square_final,
+                on_tpu=on_tpu,
             )
             Y = jax.lax.psum(
                 jnp.where(my_col == j0, Y, jnp.zeros_like(Y)), cols_axis
@@ -159,7 +161,8 @@ def _dist2d_local(
         P_cols = jax.lax.dynamic_slice(A_loc, (0, loc_col), (h, w))
         P_cols = jnp.where(my_col == j0, P_cols, 0.0)
         Y, Sinv, R_pan = _panel_reflector_cols(
-            P_cols, lam, w, h, rows_axis, pm, square_final=(m - lam == w)
+            P_cols, lam, w, h, rows_axis, pm, square_final=(m - lam == w),
+            on_tpu=on_tpu,
         )
         Y = jax.lax.psum(
             jnp.where(my_col == j0, Y, jnp.zeros_like(Y)), cols_axis
@@ -232,7 +235,8 @@ def _mesh_key(mesh: Mesh):
 
 @lru_cache(maxsize=None)
 def _jitted_2d(m, n, block_size, policy, with_b, want_q, rows_axis,
-               cols_axis, key, panel_method, loop_mode="unroll"):
+               cols_axis, key, panel_method, loop_mode="unroll",
+               on_tpu=False):
     mesh = _MESHES2D[key]
 
     def fn(A, B, Qt):
@@ -242,7 +246,7 @@ def _jitted_2d(m, n, block_size, policy, with_b, want_q, rows_axis,
             Qt if want_q else None,
             m=m, n=n, block_size=block_size, rows_axis=rows_axis,
             cols_axis=cols_axis, policy=policy, panel_method=panel_method,
-            loop_mode=loop_mode,
+            loop_mode=loop_mode, on_tpu=on_tpu,
         )
         return (
             A_out,
@@ -316,9 +320,11 @@ def dist_block_qr_2d(
         else jnp.zeros((dr, dc), policy.accum),
         NamedSharding(mesh, P(rows_axis, cols_axis)),
     )
+    from mixedprecisionblockqr_tpu.ops.blockqr import _on_tpu
+
     fn = _jitted_2d(
         m, n, block_size, policy, with_b, want_q, rows_axis, cols_axis,
-        _mesh_key(mesh), panel_method, loop_mode,
+        _mesh_key(mesh), panel_method, loop_mode, _on_tpu(),
     )
     A_out, B_out, Qt_out = fn(A, B, Qt0)
     rep = NamedSharding(mesh, P())

@@ -254,3 +254,15 @@ def test_block_qr_bgs_scan_qtb():
     )(jnp.asarray(a), jnp.asarray(b))
     ref = np.asarray(Q).T @ b
     np.testing.assert_allclose(np.asarray(QtB), ref, atol=1e-4)
+
+
+def test_bgs_positive_uniform_recovers():
+    """The reference's positive-uniform generator (h_generate_random_matrix)
+    produces CORRELATED columns — the documented stressor for fixed-budget
+    NS chains.  The public API must return a criteria-passing factorization
+    either way (in-kernel convergence or the NaN-canary retry path)."""
+    a = np.random.default_rng(0).random((512, 512)).astype(np.float32)
+    Q, R = block_qr(jnp.asarray(a), 128, POLICY_MIXED, mode="complete",
+                    panel_method="bgs1")
+    rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R), precision_bits=8)
+    assert rep.all_ok and np.isfinite(np.asarray(R)).all(), str(rep)

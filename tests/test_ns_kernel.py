@@ -172,3 +172,27 @@ def test_bgs_driver_ns_impl_parity():
     for impl in ("pallas", "fused"):
         np.testing.assert_allclose(out["xla"][0], out[impl][0], atol=1e-4)
         np.testing.assert_allclose(out["xla"][1], out[impl][1], atol=1e-4)
+
+
+def test_tri_cholqr_fused_sign_fix_parity():
+    """sign_fix=True (Yamamoto column convention) must match the XLA path
+    exactly — the 'polar' grouped driver relies on it on TPU."""
+    rng = np.random.default_rng(11)
+    P = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32))
+    Qf, tf, Xf, _ = tri_cholqr_fused(P, iters=7, sign_fix=True,
+                                     interpret=True)
+    Qx, tx, Xx, _ = tri_cholqr(P, iters=7, sign_fix=True, check=False,
+                               return_resid=True)
+    np.testing.assert_allclose(np.asarray(Qf), np.asarray(Qx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(tx), atol=1e-3)
+    assert bool((np.diag(np.asarray(Qf)[:128]) <= 0).all())
+
+
+def test_robust_fused_sign_fix():
+    rng = np.random.default_rng(12)
+    P = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    Qf, tf, _ = tri_cholqr_robust_fused(P, sign_fix=True, interpret=True)
+    assert bool((np.diag(np.asarray(Qf)[:64]) <= 0).all())
+    np.testing.assert_allclose(
+        np.asarray(Qf) @ np.asarray(tf), np.asarray(P), atol=1e-4
+    )
