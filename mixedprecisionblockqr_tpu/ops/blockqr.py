@@ -684,18 +684,24 @@ def _block_qr_bgs(
     #   'xla'    — the chained-matmul ops/polar.py path (control).
     m0, n0 = A.shape
     # Group-kernel guard: the aliased m x g*r buffer plus the in-kernel
-    # eager-projection temporaries must fit VMEM, and the REMOTE Mosaic
-    # compile of m=4096-class group kernels crashes the compile helper
-    # (HTTP 500, reproduced twice) where m=2048 compiles fine — so the
-    # group path is capped at m <= 3072 and falls back to the per-panel
-    # chain kernels ('pallas') beyond it.
+    # temporaries must fit Mosaic's 16M scoped-vmem stack.  The binding
+    # constraint is the robust TAIL chain's several m x r intermediates
+    # (measured 19.12M at m=4096/g4 — compile-time OOM; r-wide chunked
+    # projections recovered too little and ran 18% slower at 2048), so
+    # groups CONTAINING tail panels always go through the per-panel chain
+    # kernels, and clean groups use the group kernel up to the buffer
+    # quota.  MPBQR_GROUP_ANY_M=1 lifts the cap for VMEM experiments.
+    import os as _os
+
     use_group = (
         ns_impl == "group"
-        and m0 <= 3072
+        and (m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1")
         and m0 * min(block_size, n0) * group_panels * 4 <= 10 * 2**20
     )
     use_fused = ns_impl == "fused"
-    use_pallas = ns_impl == "pallas" or (ns_impl == "group" and not use_group)
+    # Per-panel kernels serve both 'pallas' proper and the robust-tail
+    # groups of the 'group' level (plus its whole-size fallback).
+    use_pallas = ns_impl == "pallas" or ns_impl == "group"
     interp = not on_tpu
 
     m, n = A.shape
@@ -731,17 +737,19 @@ def _block_qr_bgs(
             C2 = mm_t(Qprev.T, Cg)
             A = A.at[:, lam_g:g_end].set((Cg - mm_t(Qprev, C2)).astype(A.dtype))
             R = R.at[:lam_g, lam_g:g_end].add(C2)
-        if use_group:
+        robust_js = tuple(j >= nb - max(2, nb // 8) for j in js)
+        if use_group and (not any(robust_js) or m0 <= 3072):
             # Whole group in one kernel: factorizations, eager projections
             # and the group's R block all inside VMEM.  Tail panels keep
-            # the in-kernel shifted three-pass chain: a deep PLAIN chain
-            # (24 iters) was tried for the aspect-2 panel and NaN-poisoned
-            # at 1024^2 — its cond(G) reaches the 1e7-1e8 class where only
-            # the shift converges.
+            # the in-kernel shifted three-pass chain when m is small
+            # enough for its VMEM liveness (see guard above); a deep PLAIN
+            # chain (24 iters) was tried instead and NaN-poisoned at
+            # 1024^2 — the corner cond(G) reaches 1e7-1e8 where only the
+            # shift converges.
             iters_t = tuple(
                 base_iters if j < 0.75 * nb else base_iters + 4 for j in js
             )
-            robust_t = tuple(j >= nb - max(2, nb // 8) for j in js)
+            robust_t = robust_js
             Pg = A[:, lam_g:g_end].astype(jnp.float32)
             Qg, Rg, resid = bgs_group_fused(
                 Pg, r, iters_t, robust_t,
@@ -866,9 +874,12 @@ def _block_qr_bgs_scan(
 
     Projection GEMMs run full-width (m x n x r) regardless of progress —
     2x the exact-slice FLOPs of the unrolled driver — but stay on the MXU
-    at policy.trailing precision: measured at 16384^2 this wins ~1.9x over
-    the Yamamoto scan path (BENCH_NOTES round-3).  Requires n % r == 0;
-    complete mode only for m == n (same contract as ``_block_qr_bgs``).
+    at policy.trailing precision.  Measured at 16384^2 mixed_fast
+    (BENCH_NOTES round-3): reorth=False 215 ms (1.46x over the Yamamoto
+    scan's 315 ms, orth 0.16), reorth=True 400 ms at orth 5.5e-3 (3x
+    tighter than the Yamamoto scan) — and compile drops 118 s -> 8 s.
+    Requires n % r == 0; complete mode only for m == n (same contract as
+    ``_block_qr_bgs``).
     """
     from mixedprecisionblockqr_tpu.ops.pallas.ns import (
         panel_qr_fused,

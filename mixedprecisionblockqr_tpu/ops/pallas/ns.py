@@ -394,7 +394,13 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
         q_ref[:, c0 : c0 + r] = Qk
         rg_ref[c0 : c0 + r, c0 : c0 + r] = t
         if j + 1 < g:
-            # Eager projection of the group's remaining columns.
+            # Eager projection of the group's remaining columns in ONE
+            # wide dot pair — r-wide chunked projections were tried to cut
+            # temporary liveness and measured 18% SLOWER at 2048 g8
+            # (narrow sequential dots drain the MXU pipeline) while still
+            # not fitting m = 4096 (scoped-vmem OOM: 19.12M vs the 16M
+            # stack limit, dominated by the robust tail chain's m x r
+            # intermediates) — hence the driver's m <= 3072 group cap.
             C = q_ref[:, c0 + r :]
             G1, PG = proj_dots(Qk, C)
             q_ref[:, c0 + r :] = C - PG
