@@ -88,3 +88,21 @@ def test_policy_sweep_error_ordering():
         Q, R = block_qr(A, block_size=32, policy=pol, mode="complete")
         errs[name] = float(metrics.backward_error(jnp.asarray(A), Q, R))
     assert errs["fp32"] < errs["mixed"]
+
+
+@pytest.mark.parametrize("pm", ["bgs", "bgs1", "polar"])
+@pytest.mark.parametrize("shape", [(256, 256), (512, 256), (384, 384)])
+def test_fast_tier_shape_sweep(pm, shape):
+    """Round-3 fast tiers (bgs/bgs1/polar + fused kernels) across shapes
+    and both policies — criteria must hold everywhere the tier engages
+    (it silently falls back to cholqr1/polar on unsupported shapes, which
+    must also stay inside criteria)."""
+    m, n = shape
+    A = np.random.default_rng(m + n).standard_normal(shape).astype(np.float32)
+    for pol, bits in ((POLICY_FP32, 23), (POLICY_MIXED, 8)):
+        mode = "complete" if m == n else "reduced"
+        Q, R = block_qr(A, block_size=128, policy=pol, mode=mode,
+                        panel_method=pm)
+        rep = metrics.evaluate(A, np.asarray(Q), np.asarray(R),
+                               precision_bits=bits)
+        assert rep.all_ok, f"{pm} {shape} {bits}b: {rep}"
