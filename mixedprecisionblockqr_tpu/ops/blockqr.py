@@ -751,9 +751,15 @@ def _block_qr_bgs(
             )
             robust_t = robust_js
             Pg = A[:, lam_g:g_end].astype(jnp.float32)
+            # bgs1: all tall dots at trailing precision (max throughput).
+            # bgs (reorth): HIGHEST in-kernel — with bf16 Grams the panel
+            # noise floor (~1e-2 orth) drowns what reorthogonalization
+            # scrubs, so the reorth tier buys its quality back here.
             Qg, Rg, resid = bgs_group_fused(
                 Pg, r, iters_t, robust_t,
-                bf16_dots=jnp.dtype(policy.trailing) == jnp.bfloat16,
+                bf16_dots=(
+                    jnp.dtype(policy.trailing) == jnp.bfloat16 and not reorth
+                ),
                 interpret=interp,
             )
             worst_resid = jnp.maximum(worst_resid, resid)
