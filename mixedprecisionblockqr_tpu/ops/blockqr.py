@@ -698,6 +698,11 @@ def _block_qr_bgs(
         and (m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1")
         and m0 * min(block_size, n0) * group_panels * 4 <= 10 * 2**20
     )
+    if use_group and n0 // min(block_size, n0) <= group_panels:
+        # Keep at least two groups: one whole-matrix kernel serializes
+        # everything with no XLA GEMMs to overlap (1024^2 at g8 measured
+        # 18 TF vs ~80 at two groups).
+        group_panels = max(2, (n0 // min(block_size, n0)) // 2)
     use_fused = ns_impl == "fused"
     # Per-panel kernels serve both 'pallas' proper and the robust-tail
     # groups of the 'group' level (plus its whole-size fallback).
