@@ -1040,6 +1040,18 @@ def block_qr(
     A = jnp.asarray(A)
     if A.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
         A = A.astype(policy.panel)
+    if jnp.dtype(policy.panel) == jnp.float64 and panel_method in (
+        "bgs", "bgs1", "polar"
+    ):
+        # The Newton-Schulz tiers run their chains in fp32 (Mosaic
+        # kernels and ops/polar.py alike) — under the fp64 ORACLE policy
+        # that would silently demote precision.  Refuse rather than
+        # degrade (same stance as the dist square-leaf guard).
+        raise ValueError(
+            f"panel_method {panel_method!r} runs fp32 NS chains and cannot "
+            "honor POLICY_FP64; use 'householder' (or 'cholqr2', whose "
+            "Cholesky path preserves the input dtype)"
+        )
     if jnp.dtype(policy.panel) == jnp.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
             "POLICY_FP64 requires jax_enable_x64 "

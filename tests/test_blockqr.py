@@ -266,3 +266,14 @@ def test_bgs_positive_uniform_recovers():
                     panel_method="bgs1")
     rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R), precision_bits=8)
     assert rep.all_ok and np.isfinite(np.asarray(R)).all(), str(rep)
+
+
+def test_fp64_rejects_fp32_ns_tiers():
+    """The NS throughput tiers run fp32 chains; the fp64 oracle policy
+    must refuse them instead of silently demoting precision."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_FP64
+
+    A = _rand(64, 64, seed=30).astype(np.float64)
+    for pm in ("bgs", "bgs1", "polar"):
+        with pytest.raises(ValueError, match="fp32 NS"):
+            block_qr(A, block_size=16, policy=POLICY_FP64, panel_method=pm)
