@@ -67,10 +67,21 @@ def main() -> int:
         )
         return x * (1.0 + 1e-12 * R_full[0, 0])
 
-    seconds = time_step_amortized(step, A, iters=24)
+    # iters must be large enough that the differenced signal (iters *
+    # step_time ~ 28 ms at 96) dominates the tunnel's ~5 ms fetch-latency
+    # noise: iters=24 measured a physically impossible 410 TFLOP/s once
+    # (noise comparable to the 7 ms signal).
+    seconds = time_step_amortized(step, A, iters=96)
     tflops = qr_flops(M, N) / seconds / 1e12
     peak = device_peak_tflops("bfloat16") or 197.0
     target = 0.5 * peak
+    if tflops > 0.75 * peak:
+        # No QR driver reaches 75% of raw matmul peak — an implausibly
+        # high reading means the measurement was noise-corrupted;
+        # re-measure with a longer chain and keep the conservative value.
+        seconds2 = time_step_amortized(step, A, iters=192)
+        seconds = max(seconds, seconds2)
+        tflops = qr_flops(M, N) / seconds / 1e12
 
     result = {
         "metric": f"{M}x{N} mixed-precision block QR (fp32 panel + bf16 MXU)",
