@@ -16,7 +16,8 @@ jaidonlybbert/MixedPrecisionBlockQR (CUDA/C++/NumPy), built TPU-first:
 
 Public API (stable):
     qr, block_qr, householder_qr, tsqr, caqr
-    lstsq (QR least-squares solver)
+    lstsq, lstsq_pivoted (QR least-squares; rank-revealing min-norm path)
+    pivoted_qr (column-pivoted rank-revealing QR)
     DTypePolicy, POLICY_FP32, POLICY_MIXED, POLICY_BF16
     metrics: backward_error, orthogonality_error, lower_trapezoid_error
 """
@@ -50,10 +51,19 @@ from mixedprecisionblockqr_tpu.ops.blockqr import (
 from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 from mixedprecisionblockqr_tpu.ops import metrics
 from mixedprecisionblockqr_tpu.ops.givens import givens_qr
+from mixedprecisionblockqr_tpu.ops.pivoted import (
+    numerical_rank,
+    pivoted_qr,
+    pivoted_qr_qtb,
+)
 from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_batched, tsqr_sharded
 from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
 from mixedprecisionblockqr_tpu.parallel.caqr import caqr
-from mixedprecisionblockqr_tpu.models.lstsq import lstsq, back_substitution
+from mixedprecisionblockqr_tpu.models.lstsq import (
+    back_substitution,
+    lstsq,
+    lstsq_pivoted,
+)
 
 __version__ = "0.1.0"
 
@@ -73,6 +83,10 @@ __all__ = [
     "apply_block_reflector_right",
     "block_qr",
     "givens_qr",
+    "pivoted_qr",
+    "pivoted_qr_qtb",
+    "numerical_rank",
+    "lstsq_pivoted",
     "block_qr_batched",
     "block_qr_qtb",
     "block_recursive_qr",

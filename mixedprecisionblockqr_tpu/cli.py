@@ -53,9 +53,11 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument(
         "--panel-method",
-        default="householder",
-        choices=["householder", "householder_pallas", "cholqr1", "cholqr2",
-                 "cholqr2s", "cholqr1x2", "polar", "bgs", "bgs1"],
+        default="auto",
+        choices=["auto", "householder", "householder_pallas", "cholqr1",
+                 "cholqr2", "cholqr2s", "cholqr1x2", "polar", "bgs", "bgs1"],
+        help="auto = the measured per-size fast tier on TPU "
+             "(ops/blockqr.py::resolve_panel_config), householder off-TPU",
     )
     p.add_argument("--loop-mode", default="unroll",
                    choices=["unroll", "scan"],
@@ -132,22 +134,19 @@ def cmd_bench(args) -> int:
         from mixedprecisionblockqr_tpu.ops.blockqr import (
             _jitted_driver,
             _on_tpu,
+            resolve_panel_config,
         )
 
-        # Same dispatch as block_qr (handles bgs/polar/cholqr/scan alike)
-        # so the timed program is exactly the public driver's.
+        # Same dispatch as block_qr (auto resolution + the full
+        # panel_method/loop_mode fallback chain via the SHARED helper) so
+        # the timed program is exactly the public driver's.
         r_eff = min(args.block_size, s)
-        lm = args.loop_mode
-        if lm == "scan" and (
-            s % r_eff != 0
-            or not (args.panel_method.startswith("cholqr")
-                    or args.panel_method in ("bgs", "bgs1"))
-            or s <= r_eff
-        ):
-            lm = "unroll"  # same normalization as block_qr
+        pm, lm, gp = resolve_panel_config(
+            s, s, args.block_size, policy, args.panel_method,
+            args.loop_mode, args.group_panels, mode="complete",
+        )
         drv = _jitted_driver(
-            r_eff, policy, True, False, args.panel_method, lm, _on_tpu(),
-            args.group_panels,
+            r_eff, policy, True, False, pm, lm, _on_tpu(), gp,
         )
 
         def step(x, drv=drv):
@@ -290,6 +289,18 @@ def cmd_dist(args) -> int:
     a = _load_matrix(args)
     mesh = make_mesh()
     policy = policy_by_name(args.policy)
+    if args.panel_method == "auto":
+        # Distributed leaf default: shifted CholeskyQR2 (plain cholqr2
+        # leaves collapsed at 8192^2 — BENCH_NOTES round-3 trailing-corner
+        # fix) — but CholeskyQR leaves are rank-deficient in fp32 when the
+        # per-device panel is squarish (the dist drivers' hard square-leaf
+        # guard), so those shapes take the Householder leaf.
+        n_dev = max(1, len(jax.devices()))
+        per_dev_rows = a.shape[0] // n_dev
+        args.panel_method = (
+            "cholqr2s" if per_dev_rows >= 2 * args.block_size
+            else "householder"
+        )
     if args.panel_method not in ("householder", "cholqr2", "cholqr2s"):
         # Error instead of silently coercing (round-1 VERDICT CLI drift):
         # the distributed leaf factorization supports exactly these two.
@@ -382,7 +393,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace here (NVTX analog)")
-    p.set_defaults(fn=cmd_bench, panel_method="cholqr2")
+    p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("suite", help="full test/bench suite (main.cu parity)")
     p.add_argument("--data-dir", default=None)

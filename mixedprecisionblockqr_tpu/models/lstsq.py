@@ -30,13 +30,23 @@ def back_substitution(
     R: jax.Array, b: jax.Array, lower: bool = False, block_size: int = 64
 ) -> jax.Array:
     """Public wrapper: gathers mesh-sharded inputs (the solve is tiny and
-    replicated) then runs the jitted blocked sweep."""
+    replicated) then runs the jitted blocked sweep.
+
+    ``lower`` flips to the upper case HERE, outside the jitted program:
+    fusing the double-rev into the same XLA:CPU program as the sweep hits
+    an XLA crash ("Invalid binary instruction opcode map",
+    hlo_instruction.cc:1585 — jax 0.9.0 CPU backend); as two separate
+    programs both compile fine on CPU and TPU alike."""
     from mixedprecisionblockqr_tpu.ops.metrics import _replicate
 
-    return _back_substitution(
-        _replicate(jnp.asarray(R)), _replicate(jnp.asarray(b)),
-        lower=lower, block_size=block_size,
-    )
+    R = _replicate(jnp.asarray(R))
+    b = _replicate(jnp.asarray(b))
+    if lower:
+        x = _back_substitution(
+            R[::-1, ::-1], b[::-1], lower=False, block_size=block_size
+        )
+        return x[::-1]
+    return _back_substitution(R, b, lower=False, block_size=block_size)
 
 
 @partial(jax.jit, static_argnames=("lower", "block_size"))
@@ -125,6 +135,48 @@ def lstsq_batched(
     return x[:, :, 0] if squeeze else x
 
 
+def lstsq_pivoted(A, b, rcond: float | None = None):
+    """Rank-deficient least squares via column-pivoted QR: the MIN-NORM
+    solution (``np.linalg.lstsq`` semantics) through a complete orthogonal
+    decomposition.
+
+    ``A P = Q R`` with rank-revealing diagonal decay; rank-k system
+    ``R[:k, :] y = (Q^T b)[:k]`` is solved min-norm by factoring
+    ``R[:k, :]^T = Z T`` (tall unpivoted QR): ``y = Z T^{-T} c``, then
+    ``x[perm] = y``.  The reference's oracle for this path is Eigen's
+    ``colPivHouseholderQr().solve`` (``Cuda/QR/Solver/solver.cu:21-32``) —
+    which returns the BASIC solution; we return min-norm (strictly
+    stronger: same residual, smallest ||x||), matching NumPy/LAPACK gelsd
+    semantics that ``python/linear_least_sqare.py`` validates against.
+    """
+    from mixedprecisionblockqr_tpu.ops.blockqr import qr as _qr
+    from mixedprecisionblockqr_tpu.ops.pivoted import (
+        numerical_rank,
+        pivoted_qr_qtb,
+    )
+
+    A = jnp.asarray(A, dtype=jnp.float32)
+    b = jnp.asarray(b, dtype=jnp.float32)
+    squeeze = b.ndim == 1
+    bc = b[:, None] if squeeze else b
+    m, n = A.shape
+    R, qtb, perm = pivoted_qr_qtb(A, bc)
+    k = numerical_rank(R, rcond=rcond)
+    if k == 0:
+        x = jnp.zeros((n,) + (() if squeeze else (bc.shape[1],)), jnp.float32)
+        return x
+    Rk = R[:k, :]                                   # (k, n), full row rank
+    c = qtb[:k, :]
+    # Complete orthogonal decomposition: Rk^T = Z T (Z (n, k) orthonormal,
+    # T (k, k) upper) => Rk = T^T Z^T.  Min-norm y solves T^T w = c
+    # (lower-triangular sweep), y = Z w.
+    Z, T = _qr(Rk.T, mode="reduced", panel_method="householder")
+    w = back_substitution(T.T, c, lower=True)
+    y = jnp.matmul(Z, w, precision=_HI)             # (n, nrhs)
+    x = jnp.zeros_like(y).at[perm, :].set(y)        # undo the pivoting
+    return x[:, 0] if squeeze else x
+
+
 def lstsq(
     A,
     b,
@@ -133,12 +185,14 @@ def lstsq(
     method: str = "blocked",
     refine_steps: int = 0,
     panel_method: str = "householder",
+    rcond: float | None = None,
 ):
     """Minimize ||A x - b||_2 via QR (the reference's
     ``linear_least_square``, ``python/linear_least_sqare.py:5-22``).
 
     method='blocked': block QR with b threaded through (no explicit Q).
     method='tsqr': TSQR path for very tall A (m >> n).
+    method='pivoted': rank-revealing path (``lstsq_pivoted``) directly.
     panel_method: forwarded to the blocked driver — 'bgs1'/'bgs'/'polar'
         select the fused-kernel throughput tiers (solves keep the
         'householder' robust default: x accuracy is kappa-limited and
@@ -147,10 +201,17 @@ def lstsq(
         factorization, x += dx) — recovers solution accuracy on
         ill-conditioned systems where a single fp32/mixed solve is
         kappa-limited; costs one Q^T-apply + triangular solve per sweep.
+    rcond: rank-detection cutoff.  When R's diagonal decays below
+        ``rcond * max|diag|`` (default eps_f32 * max(m, n)) the plain-QR
+        solve is ill-posed (1/R_ii blows up): the solver transparently
+        re-routes through the column-pivoted path and returns the MIN-NORM
+        solution.  Pass ``rcond=0`` to disable the check.
     """
     A = jnp.asarray(A, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
     m, n = A.shape
+    if method == "pivoted":
+        return lstsq_pivoted(A, b, rcond=rcond)
     if method == "tsqr":
         Q, R = tsqr(A)
         qtb = jnp.matmul(Q.T, b, precision=_HI)
@@ -176,4 +237,16 @@ def lstsq(
     R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy,
                           panel_method=panel_method)
     Rn = R[:n, :] if R.shape[0] >= n else R
+    if rcond is None or rcond > 0:
+        # Rank-deficiency tripwire on the (unpivoted) diagonal: plain QR
+        # puts at least one tiny pivot on the diagonal of a rank-deficient
+        # R (no guarantee of WHERE, which is why the solve itself must
+        # re-route through the pivoted factorization).
+        d = jnp.abs(jnp.diag(Rn))
+        tol = (
+            float(jnp.finfo(jnp.float32).eps) * max(m, n)
+            if rcond is None else rcond
+        )
+        if float(jnp.min(d)) <= tol * float(jnp.max(d)):
+            return lstsq_pivoted(A, b, rcond=rcond)
     return back_substitution(Rn, qtb[:n] if qtb.ndim == 1 else qtb[:n, :])

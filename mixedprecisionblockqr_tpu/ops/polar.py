@@ -181,8 +181,8 @@ def tri_cholqr(
 
 
 def tri_cholqr_robust(
-    P: jax.Array, sign_fix: bool = True
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    P: jax.Array, sign_fix: bool = True, return_resid: bool = False
+) -> Tuple[jax.Array, ...]:
     """Shifted three-pass triangular-NS panel factorization for
     ill-conditioned panels (the trailing-corner blocks of square
     factorizations, cond(G) ~ 1e5-1e8 class).
@@ -201,7 +201,9 @@ def tri_cholqr_robust(
     roundoff orthogonality for cond(P) up to the fp32 Gram noise floor
     (~1e4-class; beyond that, use the Householder panel).
 
-    Returns (Qs, t, X) like ``tri_cholqr``.
+    Returns (Qs, t, X) like ``tri_cholqr``; ``return_resid`` appends the
+    pass-2 chain residual (large iff the composition failed to converge —
+    the observability hook ``_poison_if_unconverged`` keys on).
     """
     m, r = P.shape
     G = jnp.matmul(P.T, P, precision=_HI)
@@ -212,10 +214,19 @@ def tri_cholqr_robust(
     Q1 = jnp.matmul(P, X1, precision=_HI)
     # Pass 2 needs no fallback cond: cond(Q1) <= ~45 by the shift cap.
     Q2, t2, X2 = tri_cholqr(
-        Q1, iters=12, refine_iters=4, sign_fix=sign_fix, check=False
+        Q1, iters=12, refine_iters=4, sign_fix=sign_fix, check=False,
     )
     t = jnp.triu(jnp.matmul(t2, t1, precision=_HI))
-    return Q2, t, jnp.matmul(X1, X2, precision=_HI)
+    out = (Q2, t, jnp.matmul(X1, X2, precision=_HI))
+    if return_resid:
+        # The TRUE final orthogonality residual max|I - Q2^T Q2| (one extra
+        # Gram).  The in-chain one-behind correction over-reports by orders
+        # of magnitude near convergence (NS is slow-then-quadratic) and
+        # would falsely trip _poison_if_unconverged on healthy panels.
+        M = jnp.matmul(Q2.T, Q2, precision=_HI)
+        resid = jnp.max(jnp.abs(M - jnp.eye(r, dtype=jnp.float32)))
+        out = out + (resid,)
+    return out
 
 
 def _tri_refine(M: jax.Array, iters: int) -> jax.Array:

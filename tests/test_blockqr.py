@@ -277,3 +277,63 @@ def test_fp64_rejects_fp32_ns_tiers():
     for pm in ("bgs", "bgs1", "polar"):
         with pytest.raises(ValueError, match="fp32 NS"):
             block_qr(A, block_size=16, policy=POLICY_FP64, panel_method=pm)
+
+
+def test_fp64_rejects_fp32_ns_tiers_qtb():
+    """Same refusal through block_qr_qtb / lstsq (round-2 ADVICE item 1:
+    the guard lived only in block_qr, so lstsq(policy=fp64,
+    panel_method='bgs1') silently demoted the chain to fp32)."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr_qtb
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_FP64
+
+    A = _rand(64, 64, seed=31).astype(np.float64)
+    b = np.ones(64, dtype=np.float64)
+    for pm in ("bgs", "bgs1", "polar"):
+        with pytest.raises(ValueError, match="fp32 NS"):
+            block_qr_qtb(A, b, block_size=16, policy=POLICY_FP64,
+                         panel_method=pm)
+
+
+def test_resolve_auto_dispatch_table():
+    """panel_method='auto' encodes the BENCH_NOTES perf map (round-2
+    VERDICT item 2).  Assert the table's choices for the measured configs
+    on a (simulated) TPU backend and the robust fallbacks elsewhere."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import resolve_panel_config
+    from mixedprecisionblockqr_tpu.ops.policy import (
+        POLICY_FP64,
+        POLICY_MIXED,
+        POLICY_MIXED_FAST,
+    )
+
+    def auto(m, n, policy, on_tpu=True, mode="complete"):
+        return resolve_panel_config(
+            m, n, 128, policy, "auto", "unroll", 4, mode=mode, on_tpu=on_tpu
+        )
+
+    # The measured per-size winners (BENCH_NOTES round-3 perf map).
+    assert auto(2048, 2048, POLICY_MIXED) == ("bgs1", "unroll", 8)
+    assert auto(4096, 4096, POLICY_MIXED) == ("cholqr1", "unroll", 4)
+    assert auto(8192, 8192, POLICY_MIXED_FAST) == ("bgs1", "unroll", 4)
+    assert auto(16384, 16384, POLICY_MIXED_FAST) == ("bgs1", "scan", 4)
+    # fp32 -> the reorthogonalized BGS tier (fp32-roundoff quality).
+    assert auto(2048, 2048, POLICY_FP32)[0] == "bgs"
+    # Off-TPU, fp64, and hostile shapes -> the robust reference tier.
+    assert auto(2048, 2048, POLICY_MIXED, on_tpu=False)[0] == "householder"
+    assert auto(2048, 2048, POLICY_FP64)[0] == "householder"
+    assert auto(2048, 1000, POLICY_MIXED)[0] == "householder"  # r !| n
+    # complete-mode tall matrices cannot take the concatenation-Q BGS
+    # driver: the fallback chain lands on the reflector tier.
+    pm, _, _ = auto(4096, 2048, POLICY_MIXED, mode="complete")
+    assert pm in ("polar", "cholqr1")
+
+
+def test_qr_auto_default_end_to_end():
+    """qr()'s default now routes through auto dispatch; on CPU that is the
+    householder tier — quality must be reference-class."""
+    a = _rand(192, 160, seed=32)
+    Q, R = qr(a, block_size=64, policy=POLICY_FP32)
+    assert Q.shape == (192, 160) and R.shape == (160, 160)
+    rep = metrics.evaluate(
+        a, np.asarray(Q), np.asarray(R), precision_bits=23
+    )
+    assert rep.all_ok, str(rep)

@@ -1,0 +1,162 @@
+"""Column-pivoted QR + rank-deficient least squares.
+
+Oracles: ``scipy.linalg.qr(pivoting=True)`` (the same algorithm family as
+the reference's Eigen ``colPivHouseholderQr`` solver oracle,
+``Cuda/QR/Solver/solver.cu:21-32``) and ``np.linalg.lstsq`` (min-norm);
+fixtures include the reference's rank-deficient matrices
+(``python/test_data.py:38-57``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from mixedprecisionblockqr_tpu.models.lstsq import lstsq, lstsq_pivoted
+from mixedprecisionblockqr_tpu.ops.pivoted import (
+    numerical_rank,
+    pivoted_qr,
+    pivoted_qr_qtb,
+)
+
+
+def _check_pivoted(a, rtol=2e-5):
+    Q, R, perm = pivoted_qr(a, mode="reduced")
+    Q, R, perm = np.asarray(Q), np.asarray(R), np.asarray(perm)
+    m, n = a.shape
+    k = min(m, n)
+    # 1. reconstruction: A[:, perm] = Q R
+    scale = max(np.linalg.norm(a), 1e-30)
+    assert np.linalg.norm(a[:, perm] - Q @ R) / scale < rtol
+    # 2. orthonormal Q
+    assert np.max(np.abs(Q.T @ Q - np.eye(k))) < rtol
+    # 3. diagonal decay invariant (non-increasing magnitudes)
+    d = np.abs(np.diag(R))
+    assert np.all(d[:-1] >= d[1:] - rtol * (d[0] + 1e-30))
+    # 4. R-diagonal parity with scipy's pivoted QR (sign-free)
+    _, Rs, _ = scipy.linalg.qr(a.astype(np.float64), pivoting=True)
+    ds = np.abs(np.diag(Rs))[:k]
+    np.testing.assert_allclose(d, ds, rtol=1e-3, atol=rtol * (ds.max() + 1))
+    return Q, R, perm
+
+
+@pytest.mark.parametrize("m,n", [(16, 16), (48, 32), (32, 48), (100, 100)])
+def test_pivoted_qr_random(m, n):
+    a = np.random.default_rng(m + n).standard_normal((m, n)).astype(np.float32)
+    _check_pivoted(a)
+
+
+def test_pivoted_qr_graded_columns():
+    # Columns with wildly different norms MUST be reordered by magnitude.
+    rng = np.random.default_rng(0)
+    a = (rng.standard_normal((64, 8)) * np.logspace(0, -6, 8)[::-1]).astype(
+        np.float32
+    )
+    Q, R, perm = _check_pivoted(a)
+    # the largest-norm (last) column pivots to the front
+    assert perm[0] == 7
+
+
+def test_pivoted_qr_reference_rank_deficient_fixtures():
+    """The reference's 'strange matrices' (python/test_data.py:38-57):
+    rank-1 repeated rows, diagonal, single-nonzero-row."""
+    fixtures = [
+        (np.array([[1, 2, 3], [1, 2, 3], [1, 2, 3]], np.float32), 1),
+        (np.array([[1, 0, 0], [0, 2, 0], [0, 0, 3]], np.float32), 3),
+        (np.array([[1, 2, 3], [0, 0, 0], [0, 0, 0]], np.float32), 1),
+    ]
+    for a, true_rank in fixtures:
+        Q, R, perm = pivoted_qr(a, mode="reduced")
+        scale = max(np.linalg.norm(a), 1e-30)
+        recon = np.linalg.norm(
+            a[:, np.asarray(perm)] - np.asarray(Q) @ np.asarray(R)
+        )
+        assert recon / scale < 1e-5
+        assert numerical_rank(R) == true_rank
+
+
+def test_pivoted_qr_zero_matrix():
+    a = np.zeros((8, 5), np.float32)
+    Q, R, perm = pivoted_qr(a)
+    assert numerical_rank(R) == 0
+    assert np.allclose(np.asarray(R), 0.0)
+    # Q still orthonormal (identity columns)
+    assert np.max(np.abs(np.asarray(Q).T @ np.asarray(Q) - np.eye(5))) < 1e-6
+
+
+def test_pivoted_qtb_matches_explicit():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((40, 24)).astype(np.float32)
+    b = rng.standard_normal((40, 2)).astype(np.float32)
+    R, qtb, perm = pivoted_qr_qtb(a, b)
+    Q, R2, perm2 = pivoted_qr(a, mode="reduced")
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm2))
+    np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(qtb)[:24], np.asarray(Q).T @ b, atol=1e-4
+    )
+
+
+def test_lstsq_pivoted_full_rank_matches_plain():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((60, 20)).astype(np.float32)
+    xt = rng.standard_normal(20).astype(np.float32)
+    b = a @ xt
+    x = np.asarray(lstsq_pivoted(a, b))
+    np.testing.assert_allclose(x, xt, atol=1e-3)
+
+
+def test_lstsq_pivoted_min_norm_rank_deficient():
+    """Exactly-duplicated columns: plain QR back-substitution divides by a
+    ~0 pivot; the pivoted path must return the MIN-NORM solution
+    (np.linalg.lstsq parity — residual equal AND ||x|| minimal)."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 6)).astype(np.float32)
+    a = np.concatenate([base, base[:, :3]], axis=1)  # rank 6, n = 9
+    b = rng.standard_normal(50).astype(np.float32)
+    x = np.asarray(lstsq_pivoted(a, b))
+    x_ref, *_ = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                                rcond=None)
+    r_ours = np.linalg.norm(a @ x - b)
+    r_ref = np.linalg.norm(a @ x_ref - b)
+    assert abs(r_ours - r_ref) < 1e-3 * (1 + r_ref)
+    # min-norm: matches lstsq's x (unique among minimal-residual solutions)
+    np.testing.assert_allclose(x, x_ref, atol=5e-3)
+
+
+def test_lstsq_auto_reroutes_on_rank_deficiency():
+    """The public lstsq detects diagonal decay and transparently takes the
+    pivoted min-norm path (round-2 VERDICT item 3 'Done' criterion)."""
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((64, 8)).astype(np.float32)
+    # power-of-two multipliers keep the dependency EXACT in fp32, so the
+    # float64 oracle sees the same rank-8 matrix.
+    a = np.concatenate([base, base[:, :4] @ np.diag(
+        np.float32([1, 2, 4, 0.5]))], axis=1)  # rank 8, n = 12
+    b = rng.standard_normal(64).astype(np.float32)
+    x = np.asarray(lstsq(a, b, block_size=4))
+    assert np.isfinite(x).all()
+    x_ref, *_ = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                                rcond=1e-6)
+    r_ours = np.linalg.norm(a @ x - b)
+    r_ref = np.linalg.norm(a @ x_ref - b)
+    assert abs(r_ours - r_ref) < 1e-3 * (1 + r_ref)
+    np.testing.assert_allclose(x, x_ref, atol=5e-3)
+
+
+def test_lstsq_rcond_zero_disables_rerouting():
+    # Full-rank system: rcond=0 path must behave exactly like before.
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((48, 16)).astype(np.float32)
+    xt = rng.standard_normal(16).astype(np.float32)
+    b = a @ xt
+    x = np.asarray(lstsq(a, b, rcond=0))
+    np.testing.assert_allclose(x, xt, atol=1e-3)
+
+
+def test_pivoted_qr_complete_mode():
+    a = np.random.default_rng(8).standard_normal((20, 12)).astype(np.float32)
+    Q, R, perm = pivoted_qr(a, mode="complete")
+    assert Q.shape == (20, 20) and R.shape == (20, 12)
+    assert np.max(np.abs(np.asarray(Q).T @ np.asarray(Q) - np.eye(20))) < 2e-5
+    recon = np.linalg.norm(a[:, np.asarray(perm)] - np.asarray(Q) @ np.asarray(R))
+    assert recon / np.linalg.norm(a) < 2e-5
