@@ -20,8 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixedprecisionblockqr_tpu.ops import metrics
-from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
-from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
 from mixedprecisionblockqr_tpu.utils.flops import qr_flops
 from mixedprecisionblockqr_tpu.utils.timing import (
     device_peak_tflops,
@@ -44,28 +43,39 @@ BLOCK = 128
 # are the tighter-orthogonality tiers; 'householder' the robust tier.
 PANEL_METHOD = "bgs1"
 GROUP_PANELS = 8
+# Round-4 additions on top (experiments/r4_headline.jsonl, same-session
+# face-off vs the round-3 config at 331-337 us): bf16-resident Q output
+# (POLICY_MIXED_FAST: -27 us of output traffic) and ONE robust tail panel
+# instead of two (-39 us; quality identical, the poison canary guards
+# hostile data loudly) -> 272-316 us / 90-105 TFLOP/s across the session.
+# Negative result recorded: bf16 early NS iterations (chain_cheap)
+# NaN-poisoned ON CHIP despite passing in interpret mode.
+ROBUST_TAIL = 1
+POLICY = POLICY_MIXED_FAST
 
 
 def main() -> int:
     a = np.random.default_rng(0).random((M, N), dtype=np.float32) - 0.5
     A = jnp.asarray(a)
 
-    # Quality gate first (same program the timing loop runs).
-    Q, R = block_qr(
-        A, block_size=BLOCK, policy=POLICY_MIXED, mode="complete",
-        panel_method=PANEL_METHOD, group_panels=GROUP_PANELS,
-    )
-    rep = metrics.evaluate(a, Q, R, precision_bits=POLICY_MIXED.precision_bits)
-
-    # Amortized device timing (tunnel-latency safe; utils/timing.py).
     from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
 
-    def step(x):
-        R_full, Qc, _ = _block_qr_bgs(
-            x, BLOCK, POLICY_MIXED, True, None, group_panels=GROUP_PANELS,
-            on_tpu=True, reorth=False,
+    driver = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, BLOCK, POLICY, True, None, group_panels=GROUP_PANELS,
+            on_tpu=True, reorth=False, robust_tail=ROBUST_TAIL,
         )
-        return x * (1.0 + 1e-12 * R_full[0, 0])
+    )
+
+    # Quality gate first (the EXACT program the timing loop runs).
+    R_full, Q, _ = driver(A)
+    rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R_full),
+                           precision_bits=POLICY.precision_bits)
+
+    # Amortized device timing (tunnel-latency safe; utils/timing.py).
+    def step(x):
+        R_full, Qc, _ = driver(x)
+        return x * (1.0 + 1e-12 * R_full[0, 0].astype(jnp.float32))
 
     # iters must be large enough that the differenced signal (iters *
     # step_time ~ 28 ms at 96) dominates the tunnel's ~5 ms fetch-latency

@@ -1,0 +1,79 @@
+"""Round-4 (round-2 VERDICT item 7 territory): 8192^2 throughput attack.
+
+Traffic model (BENCH_NOTES round-4): at 8192^2 the BGS driver is
+HBM-bound on the fp32-resident trailing matrix (~4.3 GB of trailing
+read+write across 16 groups at g4 = ~5 ms of the 18.3 ms), not VMEM-capped
+kernels.  Levers tested, per-panel-kernel path (group kernel stays
+VMEM-capped at this m — the 'streamed group kernel' answer is that the
+kernel was never the bottleneck):
+
+  control   — MIXED_FAST g4 (round-3 recommended config, 18.3 ms/100 TF)
+  bf16res   — POLICY_BF16_FAST g4: bf16-resident A halves trailing passes
+  bf16res_g8— + groups of 8: halves the number of trailing passes again
+  mf_g8     — MIXED_FAST g8 (isolate the group-width effect at fp32-res)
+Each with the round-4 robust-tail default (5 instead of 8 robust panels).
+"""
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from mixedprecisionblockqr_tpu.ops import metrics
+from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+from mixedprecisionblockqr_tpu.ops.policy import (
+    POLICY_BF16_FAST,
+    POLICY_MIXED_FAST,
+)
+from mixedprecisionblockqr_tpu.utils.flops import qr_flops
+from mixedprecisionblockqr_tpu.utils.timing import time_step_amortized
+
+M = N = 8192
+BLOCK = 128
+OUT = "/root/repo/experiments/r4_scale8k.jsonl"
+
+
+def run(name, A, a_np, policy, group_panels, iters=8):
+    drv = jax.jit(lambda x: _block_qr_bgs(
+        x, BLOCK, policy, True, None, group_panels=group_panels,
+        on_tpu=True, reorth=False))
+    R_full, Q, _ = drv(A)
+    rep = metrics.evaluate(a_np, np.asarray(Q), np.asarray(R_full),
+                           precision_bits=8)
+
+    def step(x):
+        R_full, Qc, _ = drv(x)
+        return x * (1.0 + 1e-12 * R_full[0, 0].astype(jnp.float32))
+
+    sec = time_step_amortized(step, A, iters=iters)
+    rec = {"variant": name, "ms": round(sec * 1e3, 2),
+           "tflops": round(qr_flops(M, N) / sec / 1e12, 1),
+           "backward": rep.backward, "orth": rep.orthogonality,
+           "ok": bool(rep.all_ok), "tight": bool(rep.tight_ok)}
+    print(json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main():
+    a = np.random.default_rng(0).random((M, N), dtype=np.float32) - 0.5
+    A = jnp.asarray(a)
+    for name, policy, g in [
+        ("control_mf_g4", POLICY_MIXED_FAST, 4),
+        ("bf16res_g4", POLICY_BF16_FAST, 4),
+        ("bf16res_g8", POLICY_BF16_FAST, 8),
+        ("mf_g8", POLICY_MIXED_FAST, 8),
+    ]:
+        try:
+            run(name, A, a, policy, g)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

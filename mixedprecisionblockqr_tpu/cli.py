@@ -55,7 +55,8 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
         "--panel-method",
         default="auto",
         choices=["auto", "householder", "householder_pallas", "cholqr1",
-                 "cholqr2", "cholqr2s", "cholqr1x2", "polar", "bgs", "bgs1"],
+                 "cholqr2", "cholqr2s", "cholqr1x2", "polar", "bgs", "bgs1",
+                 "bgs2"],
         help="auto = the measured per-size fast tier on TPU "
              "(ops/blockqr.py::resolve_panel_config), householder off-TPU",
     )
@@ -290,28 +291,45 @@ def cmd_dist(args) -> int:
     mesh = make_mesh()
     policy = policy_by_name(args.policy)
     if args.panel_method == "auto":
-        # Distributed leaf default: shifted CholeskyQR2 (plain cholqr2
-        # leaves collapsed at 8192^2 — BENCH_NOTES round-3 trailing-corner
-        # fix) — but CholeskyQR leaves are rank-deficient in fp32 when the
-        # per-device panel is squarish (the dist drivers' hard square-leaf
-        # guard), so those shapes take the Householder leaf.
+        m_, n_ = a.shape
+        r_ = min(args.block_size, n_)
         n_dev = max(1, len(jax.devices()))
-        per_dev_rows = a.shape[0] // n_dev
-        args.panel_method = (
-            "cholqr2s" if per_dev_rows >= 2 * args.block_size
-            else "householder"
-        )
-    if args.panel_method not in ("householder", "cholqr2", "cholqr2s"):
+        per_dev_rows = m_ // n_dev
+        if (
+            n_ % r_ == 0
+            and n_ >= 2 * args.block_size
+            and not (m_ != n_)  # complete-mode output below needs m == n
+        ):
+            # Distributed BGS tier: full-height panels (no square-leaf
+            # hazard), one psum per Gram/projection, Q by concatenation.
+            args.panel_method = "bgs"
+        elif per_dev_rows >= 2 * args.block_size:
+            # Shifted CholeskyQR2 leaves (plain cholqr2 collapsed at
+            # 8192^2 — BENCH_NOTES round-3 trailing-corner fix).
+            args.panel_method = "cholqr2s"
+        else:
+            # Squarish per-device leaves are CholeskyQR-hostile.
+            args.panel_method = "householder"
+    if args.panel_method not in (
+        "householder", "cholqr2", "cholqr2s", "bgs", "bgs1"
+    ):
         # Error instead of silently coercing (round-1 VERDICT CLI drift):
         # the distributed leaf factorization supports exactly these two.
         print(
-            f"error: dist supports --panel-method householder|cholqr2|cholqr2s, "
+            "error: dist supports --panel-method "
+            "householder|cholqr2|cholqr2s|bgs|bgs1, "
             f"got {args.panel_method!r}",
             file=sys.stderr,
         )
         return 2
+    # BGS materializes the reduced Q (m x n): evaluate reduced for m != n.
+    mode = (
+        "reduced"
+        if args.panel_method in ("bgs", "bgs1") and a.shape[0] != a.shape[1]
+        else "complete"
+    )
     Q, R = dist_block_qr(
-        a, mesh, block_size=args.block_size, policy=policy, mode="complete",
+        a, mesh, block_size=args.block_size, policy=policy, mode=mode,
         panel_method=args.panel_method,
         loop_mode=args.loop_mode,
     )

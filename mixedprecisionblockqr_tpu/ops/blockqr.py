@@ -67,7 +67,7 @@ def _on_tpu() -> bool:
         return False
 
 
-_NS_TIERS = ("bgs", "bgs1", "polar")
+_NS_TIERS = ("bgs", "bgs1", "bgs2", "polar")
 
 
 def check_policy_method(policy: DTypePolicy, panel_method: str) -> None:
@@ -144,7 +144,7 @@ def resolve_panel_config(
         check_policy_method(policy, panel_method)
 
     # Shape-fallback chain (identical to the historic in-driver rules).
-    if panel_method in ("bgs", "bgs1") and (
+    if panel_method in ("bgs", "bgs1", "bgs2") and (
         n % r != 0
         or n < 2 * block_size
         or (mode == "complete" and m != n)
@@ -158,7 +158,7 @@ def resolve_panel_config(
         n % r != 0
         or not (
             panel_method.startswith("cholqr")
-            or panel_method in ("bgs", "bgs1")
+            or panel_method in ("bgs", "bgs1", "bgs2")
         )
         or n <= block_size
     ):
@@ -731,6 +731,11 @@ def _block_qr_bgs(
     on_tpu: bool = False,
     reorth: bool = True,
     ns_impl: str = "group",
+    iters_delta: int = 0,
+    robust_tail: Optional[int] = None,
+    tail_bump: int = 4,
+    mid_tier: bool = False,
+    chain_cheap: bool = False,
 ):
     """Right-looking Block Gram-Schmidt QR — the throughput flagship
     (``panel_method='bgs'``).
@@ -823,7 +828,25 @@ def _block_qr_bgs(
     m, n = A.shape
     r = block_size
     nb = n // r
-    base_iters = tri_iters_for_aspect(m / r)  # panels keep FULL height
+    # iters_delta / robust_tail are calibration knobs (experiments/
+    # r4_headline.py): extra/fewer NS iterations per panel and the number
+    # of trailing panels on the shifted three-pass chain (default
+    # max(2, nb // 8)); the poison canary guards aggressive settings.
+    base_iters = tri_iters_for_aspect(m / r) + iters_delta
+    # Robust-tail count: ~1 per 12 panels, minimum 1 (round-4 calibration:
+    # at 2048^2/nb=16 ONE robust panel is sufficient — quality identical,
+    # 298 vs 337 us — and the 2nd-from-last panel's plain chain at
+    # base+tail_bump iterations converges; the NaN canary + public-driver
+    # retry guard hostile spectra loudly).  SQUARISH problems (panel
+    # aspect m/r < 8) keep the conservative round-3 count: there every
+    # panel's Gram is low-aspect/ill-conditioned and trimming robustness
+    # measurably leaks orthogonality past the fp32 criterion (256^2 sweep).
+    if robust_tail is not None:
+        n_robust = robust_tail
+    elif m / r >= 8:
+        n_robust = max(1, nb // 12)
+    else:
+        n_robust = max(2, nb // 8)
     # want_q yields the (m, n) concatenated Q — the reduced factor; for
     # m == n that IS the complete Q (block_qr guards complete-mode m > n).
     assert n % r == 0 and m >= n
@@ -832,7 +855,8 @@ def _block_qr_bgs(
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
     gram_prec = (
-        _HI if jnp.dtype(policy.trailing) == jnp.float32
+        _HI
+        if jnp.dtype(policy.trailing) == jnp.float32 or mid_tier
         else jax.lax.Precision.HIGH
     )
     R = jnp.zeros((n, n), jnp.float32)
@@ -853,7 +877,7 @@ def _block_qr_bgs(
             C2 = mm_t(Qprev.T, Cg)
             A = A.at[:, lam_g:g_end].set((Cg - mm_t(Qprev, C2)).astype(A.dtype))
             R = R.at[:lam_g, lam_g:g_end].add(C2)
-        robust_js = tuple(j >= nb - max(2, nb // 8) for j in js)
+        robust_js = tuple(j >= nb - n_robust for j in js)
         if use_group and (not any(robust_js) or m0 <= 3072):
             # Whole group in one kernel: factorizations, eager projections
             # and the group's R block all inside VMEM.  Tail panels keep
@@ -863,7 +887,8 @@ def _block_qr_bgs(
             # 1024^2 — the corner cond(G) reaches 1e7-1e8 where only the
             # shift converges.
             iters_t = tuple(
-                base_iters if j < 0.75 * nb else base_iters + 4 for j in js
+                base_iters if j < 0.75 * nb else base_iters + tail_bump
+                for j in js
             )
             robust_t = robust_js
             Pg = A[:, lam_g:g_end].astype(jnp.float32)
@@ -871,11 +896,14 @@ def _block_qr_bgs(
             # bgs (reorth): HIGHEST in-kernel — with bf16 Grams the panel
             # noise floor (~1e-2 orth) drowns what reorthogonalization
             # scrubs, so the reorth tier buys its quality back here.
+            # bgs2 (mid_tier): HIGHEST Gram/Q=PX only (kills the panel
+            # noise), projections stay bf16 (keeps the throughput).
+            is_bf16 = jnp.dtype(policy.trailing) == jnp.bfloat16
             Qg, Rg, resid = bgs_group_fused(
                 Pg, r, iters_t, robust_t,
-                bf16_dots=(
-                    jnp.dtype(policy.trailing) == jnp.bfloat16 and not reorth
-                ),
+                bf16_dots=is_bf16 and (not reorth or mid_tier),
+                bf16_gram=is_bf16 and not reorth,
+                chain_cheap=chain_cheap,
                 interpret=interp,
             )
             worst_resid = jnp.maximum(worst_resid, resid)
@@ -893,7 +921,7 @@ def _block_qr_bgs(
         for j in js:
             lam = j * r
             P = A[:, lam : lam + r]
-            if j >= nb - max(2, nb // 8):
+            if j >= nb - n_robust:
                 # The last panel(s) inherit the trailing corner's
                 # conditioning (cond(G) can reach 1e5-1e8): shifted
                 # three-pass scheme, convergent for any input.
@@ -912,7 +940,8 @@ def _block_qr_bgs(
             elif use_fused:
                 Qk, t, resid = panel_qr_fused(
                     P,
-                    iters=(base_iters if j < 0.75 * nb else base_iters + 4),
+                    iters=(base_iters if j < 0.75 * nb
+                           else base_iters + tail_bump),
                     gram_hi=gram_prec == _HI,
                     interpret=interp,
                 )
@@ -921,7 +950,8 @@ def _block_qr_bgs(
                 G = jnp.matmul(P.T, P, precision=gram_prec)
                 X, t, resid = ns_chain(
                     G,
-                    iters=(base_iters if j < 0.75 * nb else base_iters + 4),
+                    iters=(base_iters if j < 0.75 * nb
+                           else base_iters + tail_bump),
                     interpret=interp,
                 )
                 Qk = jnp.matmul(P, X, precision=gram_prec)
@@ -929,7 +959,8 @@ def _block_qr_bgs(
             else:
                 Qk, t, _, resid = tri_cholqr(
                     P,
-                    iters=(base_iters if j < 0.75 * nb else base_iters + 4),
+                    iters=(base_iters if j < 0.75 * nb
+                           else base_iters + tail_bump),
                     sign_fix=False,
                     gram_precision=gram_prec,
                     check=False,
@@ -1103,18 +1134,23 @@ def _jitted_driver(
         on_tpu = _on_tpu()
 
     def fn(A, B=None):
-        if panel_method in ("bgs", "bgs1"):
-            # 'bgs' = (re)orthogonalized twice (robust default);
-            # 'bgs1' = single-pass (max throughput, kappa-sensitive orth).
+        if panel_method in ("bgs", "bgs1", "bgs2"):
+            # 'bgs'  = BCGS2 reorth + HIGHEST in-kernel dots (quality);
+            # 'bgs1' = single-pass, all-bf16 (max throughput);
+            # 'bgs2' = the mid-tier: BCGS2 reorth + HIGHEST panel
+            #          Gram/Q=PX, bf16 projections (round-2 VERDICT item
+            #          4 — between bgs1's panel-noise orth floor and
+            #          bgs's 1.9x cost).
             if loop_mode == "scan":
                 return _block_qr_bgs_scan(
                     A, block_size, policy, want_q, B, on_tpu=on_tpu,
-                    reorth=panel_method == "bgs",
+                    reorth=panel_method in ("bgs", "bgs2"),
                 )
             return _block_qr_bgs(
                 A, block_size, policy, want_q, B,
                 group_panels=group_panels, on_tpu=on_tpu,
-                reorth=panel_method == "bgs",
+                reorth=panel_method in ("bgs", "bgs2"),
+                mid_tier=panel_method == "bgs2",
             )
         if panel_method == "polar":
             return _block_qr_grouped(
@@ -1180,7 +1216,7 @@ def block_qr(
         block_size, policy, want_q, False, panel_method, loop_mode, _on_tpu(),
         group_panels,
     )(A)
-    if panel_method in ("bgs", "bgs1", "polar") and not bool(
+    if panel_method in _NS_TIERS and not bool(
         jnp.isfinite(R_full[0, 0])
     ):
         # The Newton-Schulz drivers poison their outputs with NaN when a
@@ -1226,7 +1262,7 @@ def block_qr_qtb(
         block_size, policy, False, True, panel_method, "unroll", _on_tpu(),
         group_panels,
     )(A, B.astype(policy.panel))
-    if panel_method in ("bgs", "bgs1", "polar") and not bool(
+    if panel_method in _NS_TIERS and not bool(
         jnp.isfinite(R_full[0, 0])
     ):
         # NaN-poisoned by _poison_if_unconverged: retry via direct Cholesky.

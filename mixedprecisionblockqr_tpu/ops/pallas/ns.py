@@ -27,7 +27,7 @@ seed, same guard) — oracle-tested against it in interpret mode.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,15 @@ def _norm2_est(M):
     return 1.05 * n2 / (n1 + 1e-30)
 
 
-def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False):
+def _dot_bf16(a, b):
+    # Single-pass bf16 MXU dot with fp32 accumulation — ~6x cheaper than a
+    # HIGHEST fp32 dot (which lowers to multiple MXU passes).
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
+            cheap_iters=0):
     """The triangular-NS chain on an SPD G (exact ``tri_inv_chol``
     semantics).  Returns (X, E) with E the last iteration's correction —
     one step BEHIND the final X (free), or, with ``final_exact``, the true
@@ -97,13 +105,31 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False):
     # Statically unrolled: a fori_loop's (r, r) carries cost ~1us/iteration
     # of VMEM copies in Mosaic (measured: 8us at 6 iters vs ~0.3us of MXU
     # work); iters is always a static Python int here.
+    # The iteration is SELF-CORRECTING: X <- X(I + C) drives X^T G X -> I
+    # from wherever the current X sits, so the first ``cheap_iters`` steps
+    # can run single-pass bf16 (6x cheaper on the MXU) and only the FINAL
+    # HIGHEST steps set the converged accuracy (bf16 steps reach the
+    # ~2^-8 residual class; two quadratic HIGHEST steps take 4e-3 ->
+    # ~1e-5 -> roundoff).  The convergence residual still reflects the
+    # HIGHEST tail, and the drivers' poison canary guards the scheme on
+    # hostile spectra.
     E = eye
-    for _ in range(iters):
-        W = _dot(G, X)
-        M = _dot_ta(X, W)
+    for it in range(iters):
+        cheap = it < cheap_iters
+        dot_ = _dot_bf16 if cheap else _dot
+        W = dot_(G, X)
+        M = (
+            jax.lax.dot_general(
+                X.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if cheap
+            else _dot_ta(X, W)
+        )
         E = eye - M
         C = jnp.where(cols > rows, E, 0.0) + jnp.where(rows == cols, E, 0.0) * 0.5
-        X = X + _dot(X, C)
+        X = X + dot_(X, C)
     if final_exact:
         E = eye - _dot_ta(X, _dot(G, X))
     return X, E
@@ -315,7 +341,8 @@ def panel_qr_fused(
     return Q, t, resid[0, 0]
 
 
-def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots):
+def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
+                  chain_cheap=False):
     """One panel's factorization INSIDE a kernel: returns (Qk, t, resid).
 
     ``bf16_dots``: the tall (m x r) products (Gram, Q = P X) run as
@@ -370,14 +397,18 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots):
         # tail-panel breakdowns invisible to _poison_if_unconverged
         # (round-2 VERDICT weak item 5).
         return Qk, t, jnp.max(jnp.abs(E))
-    X, E = _tri_ns(G, iters, rows, cols, eye)
+    # chain_cheap: all but the final 2 iterations in single-pass bf16
+    # (the robust branch above always stays full-HIGHEST).
+    X, E = _tri_ns(G, iters, rows, cols, eye,
+                   cheap_iters=max(0, iters - 2) if chain_cheap else 0)
     Qk = tall_dot(P, X)
     t = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
     return Qk, t, jnp.max(jnp.abs(E))
 
 
 def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
-                      g: int, iters: tuple, robust: tuple, bf16_dots: bool):
+                      g: int, iters: tuple, robust: tuple, bf16_dots: bool,
+                      bf16_gram: bool, chain_cheap: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -409,7 +440,8 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
         c0 = j * r
         P = q_ref[:, c0 : c0 + r]
         Qk, t, resid = _tri_ns_panel(
-            P, iters[j], rows, cols, eye, robust[j], bf16_dots
+            P, iters[j], rows, cols, eye, robust[j], bf16_gram,
+            chain_cheap=chain_cheap,
         )
         # Robust tails carry a looser healthy range (final orthogonality
         # ~1e-3 at the edge of the fp32-Gram domain is correct behavior,
@@ -436,7 +468,7 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
 
 @functools.partial(
     jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
-                              "interpret")
+                              "bf16_gram", "chain_cheap", "interpret")
 )
 def bgs_group_fused(
     Pg: jax.Array,
@@ -444,6 +476,8 @@ def bgs_group_fused(
     iters: tuple,
     robust: tuple,
     bf16_dots: bool = True,
+    bf16_gram: Optional[bool] = None,
+    chain_cheap: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One WHOLE BGS group — g sequential panel factorizations plus their
@@ -464,9 +498,17 @@ def bgs_group_fused(
     m, w = Pg.shape
     g = w // r
     assert w == g * r and len(iters) == g and len(robust) == g
+    # Precision split (round-2 VERDICT item 4): ``bf16_dots`` covers the
+    # EAGER PROJECTIONS, ``bf16_gram`` the per-panel Gram + Q = P X (the
+    # source of the one-pass panel-noise orthogonality floor).  Default:
+    # coupled (the historic bgs1/bgs behavior); the 'bgs2' mid-tier runs
+    # bf16 projections with HIGHEST Grams.
+    if bf16_gram is None:
+        bf16_gram = bf16_dots
     kernel = functools.partial(
         _bgs_group_kernel, m=m, r=r, g=g, iters=tuple(iters),
-        robust=tuple(robust), bf16_dots=bf16_dots,
+        robust=tuple(robust), bf16_dots=bf16_dots, bf16_gram=bf16_gram,
+        chain_cheap=chain_cheap,
     )
     Qg, Rg, resid = pl.pallas_call(
         kernel,

@@ -82,6 +82,16 @@ POLICY_MIXED_FAST = DTypePolicy(
     trailing=jnp.bfloat16, q_update=jnp.bfloat16, q_store=jnp.bfloat16,
     precision_bits=8,
 )
+# bf16-RESIDENT fast policy: the working matrix itself rides bf16 between
+# panel updates (panel=bf16), plus bf16 Q storage.  At 2048^2 this LOSES
+# (FLOP-bound regime; measured round-4) but at 8192+^2 the trailing-matrix
+# HBM passes dominate (~4 GB fp32 at 8192) and halving them is the lever.
+# Quality: one extra 2^-8 rounding per trailing write — same 2^-8*m
+# acceptance class.
+POLICY_BF16_FAST = DTypePolicy(
+    panel=jnp.bfloat16, trailing=jnp.bfloat16, q_update=jnp.bfloat16,
+    q_store=jnp.bfloat16, precision_bits=8,
+)
 # fp64 oracle policy (CPU or x64-enabled TPU; the reference's fp64 study
 # column, performance_test_result/error.md).
 POLICY_FP64 = DTypePolicy(
@@ -96,6 +106,7 @@ def policy_by_name(name: str) -> DTypePolicy:
         "mixed": POLICY_MIXED,
         "mixed_fast": POLICY_MIXED_FAST,
         "bf16": POLICY_BF16,
+        "bf16_fast": POLICY_BF16_FAST,
         "fp64": POLICY_FP64,
     }
     if name not in table:

@@ -181,6 +181,175 @@ def _panel_reflector_cols(
     return Y_loc, Sinv, R_pan
 
 
+def _dist_bgs_local(
+    A_loc: jax.Array,
+    B_loc: Optional[jax.Array],
+    *,
+    m: int,
+    n: int,
+    block_size: int,
+    axis: str,
+    policy: DTypePolicy,
+    group_panels: int = 4,
+    reorth: bool = True,
+    on_tpu: bool = False,
+):
+    """Distributed Block Gram-Schmidt (the single-chip throughput flagship
+    ``ops/blockqr.py::_block_qr_bgs`` brought inside ``shard_map`` — round-2
+    VERDICT item 5a).
+
+    Every panel keeps FULL height across the mesh, so the whole structure
+    survives sharding verbatim:
+
+      * the panel Gram is ``psum_i(P_i^T P_i)`` — ONE (r x r) collective —
+        and the triangular-NS chain runs REPLICATED (tiny, r x r; as the
+        fused Mosaic kernel on TPU),
+      * ``Q_k = P X`` is local (no communication at all),
+      * the eager in-group and per-group trailing projections are one
+        ``psum`` of the (w x n_trail) coefficient block each — the same
+        collective count as the Yamamoto reflector path but with NO
+        S-inverse, NO reflector merge and NO Q-update GEMMs,
+      * Q materializes by writing column blocks into a row-sharded buffer
+        (concatenation), R rows are written directly (replicated).
+
+    ``reorth=True`` ('bgs') re-projects each group's columns against all
+    previous Q once at group start (BCGS2) — two extra psum'd GEMMs per
+    group, fp32-roundoff-class orthogonality.  Tail panels (last
+    max(2, nb//8)) run the shifted three-pass chain on their psum'd Grams
+    (3 collectives instead of 1).
+
+    Returns (Qbuf_loc (h, n), R (n, n) replicated, QtB (n, kB) replicated,
+    worst_resid).
+    """
+    h = A_loc.shape[0]
+    r = block_size
+    nb = n // r
+    assert n % r == 0
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+
+    def psum_gram(Xl, Yl):
+        # fp32 HIGHEST Gram (the NS chain needs a true-fp32 Gram; the tall
+        # projections below stay at the policy's trailing precision).
+        return jax.lax.psum(
+            jnp.matmul(Xl.T, Yl, precision=_HI), axis
+        )
+
+    def tri_chain(G, iters):
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+            return ns_chain(G, iters=iters)
+        from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
+
+        X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+        t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
+        return X, t, resid
+
+    def robust_panel(P_loc):
+        # Shifted three-pass scheme on psum'd Grams (ops/polar.py::
+        # tri_cholqr_robust semantics, distributed): 3 Gram collectives.
+        from mixedprecisionblockqr_tpu.ops.polar import _spectral_guard
+
+        G = psum_gram(P_loc, P_loc)
+        Gs = G + (1e-3 * _spectral_guard(G)) * jnp.eye(r, dtype=jnp.float32)
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+            X1, _, _ = ns_chain(Gs, iters=14)
+            t1 = jnp.matmul(X1.T, Gs, precision=_HI)  # exact X1^{-1}
+        else:
+            from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
+
+            X1 = tri_inv_chol(Gs, iters=14)
+            t1 = jnp.matmul(X1.T, Gs, precision=_HI)
+        Q1 = jnp.matmul(P_loc.astype(jnp.float32), X1, precision=_HI)
+        M1 = psum_gram(Q1, Q1)
+        X2, t2, _ = tri_chain(M1, 12)
+        Q2 = jnp.matmul(Q1, X2, precision=_HI)
+        M2 = psum_gram(Q2, Q2)
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+            X3, t3, resid = ns_chain(M2, iters=4, refine=True)
+        else:
+            from mixedprecisionblockqr_tpu.ops.polar import _tri_refine
+
+            X3 = _tri_refine(M2, 4)
+            M3 = jnp.matmul(
+                X3.T, jnp.matmul(M2, X3, precision=_HI), precision=_HI
+            )
+            resid = jnp.max(jnp.abs(M3 - jnp.eye(r, dtype=jnp.float32)))
+            t3 = jnp.triu(jnp.matmul(X3.T, M2, precision=_HI))
+        Qk = jnp.matmul(Q2, X3, precision=_HI)
+        t = jnp.triu(jnp.matmul(
+            t3, jnp.matmul(t2, t1, precision=_HI), precision=_HI
+        ))
+        return Qk, t, 0.01 * resid  # robust tier: 1e-2 breakdown threshold
+
+    from mixedprecisionblockqr_tpu.ops.polar import tri_iters_for_aspect
+
+    base_iters = tri_iters_for_aspect(m / r)
+    worst_resid = jnp.float32(0.0)
+    Qbuf = jnp.zeros((h, n), jnp.float32)
+    R = jnp.zeros((n, n), jnp.float32)
+    kB = B_loc.shape[1] if B_loc is not None else 1
+    QtB = jnp.zeros((n, kB), jnp.float32)
+    A_loc = A_loc.astype(policy.panel)
+
+    i = 0
+    while i < nb:
+        lam_g = i * r
+        js = list(range(i, min(i + group_panels, nb)))
+        g_end = (js[-1] + 1) * r
+        if reorth and lam_g > 0:
+            Cg = A_loc[:, lam_g:g_end].astype(jnp.float32)
+            Qprev = Qbuf[:, :lam_g]
+            C2 = jax.lax.psum(mm_t(Qprev.T, Cg), axis)
+            A_loc = A_loc.at[:, lam_g:g_end].set(
+                (Cg - mm_t(Qprev, C2)).astype(A_loc.dtype)
+            )
+            R = R.at[:lam_g, lam_g:g_end].add(C2)
+        for j in js:
+            lam = j * r
+            P_loc = A_loc[:, lam : lam + r].astype(jnp.float32)
+            if j >= nb - max(2, nb // 8):
+                Qk, t, rresid = robust_panel(P_loc)
+                worst_resid = jnp.maximum(worst_resid, rresid)
+            else:
+                iters = base_iters if j < 0.75 * nb else base_iters + 4
+                G = psum_gram(P_loc, P_loc)
+                X, t, resid = tri_chain(G, iters)
+                Qk = jnp.matmul(P_loc, X, precision=_HI)
+                worst_resid = jnp.maximum(worst_resid, resid)
+            R = R.at[lam : lam + r, lam : lam + r].set(t)
+            Qbuf = Qbuf.at[:, lam : lam + r].set(Qk)
+            if lam + r < g_end:
+                C = A_loc[:, lam + r : g_end]
+                G1 = jax.lax.psum(mm_t(Qk.T, C), axis)
+                A_loc = A_loc.at[:, lam + r : g_end].set(
+                    (C - mm_t(Qk, G1)).astype(A_loc.dtype)
+                )
+                R = R.at[lam : lam + r, lam + r : g_end].set(G1)
+            if B_loc is not None:
+                QtB = QtB.at[lam : lam + r, :].set(
+                    jax.lax.psum(mm_t(Qk.T, B_loc), axis)
+                )
+        if g_end < n:
+            Qg = Qbuf[:, lam_g:g_end]
+            C = A_loc[:, g_end:]
+            G1 = jax.lax.psum(mm_t(Qg.T, C), axis)
+            A_loc = A_loc.at[:, g_end:].set((C - mm_t(Qg, G1)).astype(A_loc.dtype))
+            R = R.at[lam_g:g_end, g_end:].set(G1)
+        i = js[-1] + 1
+
+    R = jnp.triu(R)
+    from mixedprecisionblockqr_tpu.ops.blockqr import _poison_if_unconverged
+
+    R, Qbuf, QtB = _poison_if_unconverged(worst_resid, R, Qbuf, QtB)
+    return Qbuf, R, QtB
+
+
 def _dist_qr_local(
     A_loc: jax.Array,
     Q_loc: Optional[jax.Array],
@@ -390,6 +559,49 @@ def _jitted_dist_qr(
     return jax.jit(sm)
 
 
+@lru_cache(maxsize=None)
+def _jitted_dist_bgs(
+    m: int,
+    n: int,
+    d: int,
+    block_size: int,
+    policy: DTypePolicy,
+    with_b: bool,
+    axis: str,
+    mesh_key,
+    reorth: bool = True,
+    group_panels: int = 4,
+    on_tpu: bool = False,
+):
+    mesh = _MESHES[mesh_key]
+
+    def fn(A, B):
+        Qbuf, R, QtB = _dist_bgs_local(
+            A,
+            B if with_b else None,
+            m=m,
+            n=n,
+            block_size=block_size,
+            axis=axis,
+            policy=policy,
+            group_panels=group_panels,
+            reorth=reorth,
+            on_tpu=on_tpu,
+        )
+        return Qbuf, R, QtB
+
+    # R / QtB are built exclusively from psum results and replicated chain
+    # math -> replicated across the mesh axis; Q stays row-sharded.
+    sm = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
 # shard_map needs the concrete Mesh; lru_cache needs hashables -> registry.
 _MESHES = {}
 
@@ -424,6 +636,53 @@ def dist_block_qr(
     if m % d:
         raise ValueError(f"rows {m} must divide across {d} devices")
     h = m // d
+
+    if panel_method in ("bgs", "bgs1"):
+        # Distributed Block Gram-Schmidt tier (_dist_bgs_local): full-height
+        # panels — NO square-leaf hazard (the Gram is global, aspect m/r) —
+        # Q by concatenation into a row-sharded buffer.  Same contract as
+        # the single-chip tier: r | n, reduced-Q = (m, n).
+        if n % min(block_size, n) != 0 or n < 2 * block_size:
+            raise ValueError(
+                f"dist bgs needs block_size | n and n >= 2*block_size "
+                f"(block_size {block_size}, n {n})"
+            )
+        if mode == "complete" and m != n:
+            raise ValueError(
+                "dist bgs materializes the reduced Q (m x n); complete-Q "
+                "for m > n needs the reflector tier "
+                "(panel_method='cholqr2s' or 'householder')"
+            )
+        sharding = NamedSharding(mesh, P(axis, None))
+        A_sh = jax.device_put(A, sharding)
+        B = (
+            jax.device_put(jnp.asarray(b, policy.accum).reshape(m, -1),
+                           sharding)
+            if b is not None
+            else jax.device_put(jnp.zeros((m, 1), policy.accum), sharding)
+        )
+        from mixedprecisionblockqr_tpu.ops.blockqr import _on_tpu
+
+        fn = _jitted_dist_bgs(
+            m, n, d, min(block_size, n), policy, b is not None, axis,
+            _mesh_key(mesh), panel_method == "bgs", 4, _on_tpu(),
+        )
+        Qbuf, R, QtB = fn(A_sh, B)
+        if not bool(jnp.isfinite(R[0, 0])):
+            # NaN canary (NS under-convergence on hostile data): transparent
+            # retry through the robust reflector tier, mirroring block_qr.
+            pm = "cholqr2s" if h >= 2 * min(block_size, n) else "householder"
+            return dist_block_qr(
+                A, mesh, block_size=block_size, policy=policy, axis=axis,
+                mode=mode, b=b, panel_method=pm, loop_mode=loop_mode,
+            )
+        if mode == "r":
+            return (R, QtB) if b is not None else R
+        q_dtype = policy.q_store or policy.accum
+        Q = Qbuf.astype(q_dtype)
+        out = (Q, R) if mode == "complete" else (Q, R[:n, :])
+        return out + ((QtB,) if b is not None else ())
+
     if panel_method.startswith("cholqr") and h < 2 * min(block_size, n):
         # CholeskyQR leaves square the LEAF condition number; a square
         # (h == r) leaf from the trailing corner is numerically rank-

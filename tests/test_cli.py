@@ -62,3 +62,87 @@ def test_cli_dist(tmp_path):
               "--policy", "fp32", "--log-dir", str(tmp_path)])
         == 0
     )
+
+
+def test_cli_bench_matches_public_dispatch(tmp_path, capsys):
+    """cmd_bench must time the SAME program the public driver dispatches
+    (round-2 ADVICE item 3): bgs at a non-divisible size falls back through
+    the shared resolver instead of hitting the raw driver assert."""
+    assert (
+        main(["bench", "--sizes", "96", "--iters", "2",
+              "--panel-method", "bgs1", "--policy", "fp32",
+              "--log-dir", str(tmp_path)])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert '"m": 96' in out and '"criteria_ok": true' in out
+
+
+def test_cli_bench_scan_fallback(tmp_path, capsys):
+    # scan at a size <= block_size must normalize to unroll, not crash.
+    assert (
+        main(["bench", "--sizes", "64", "--iters", "2", "--block-size", "64",
+              "--loop-mode", "scan", "--policy", "fp32",
+              "--log-dir", str(tmp_path)])
+        == 0
+    )
+    assert '"criteria_ok": true' in capsys.readouterr().out
+
+
+def test_cli_dist_bgs_and_rejection(tmp_path, capsys):
+    assert (
+        main(["dist", "--m", "256", "--n", "64", "--block-size", "32",
+              "--policy", "fp32", "--panel-method", "bgs",
+              "--log-dir", str(tmp_path)])
+        == 0
+    )
+    # unsupported dist method errors loudly (no silent coercion)
+    assert (
+        main(["dist", "--m", "128", "--n", "64", "--block-size", "16",
+              "--panel-method", "polar", "--log-dir", str(tmp_path)])
+        == 2
+    )
+
+
+def test_cli_dist_auto_leaf_selection(tmp_path):
+    # auto on a square-leaf-hostile shape must still succeed (householder
+    # or bgs leaf; never a crashing cholqr leaf).
+    assert (
+        main(["dist", "--m", "128", "--n", "96", "--block-size", "16",
+              "--policy", "fp32", "--log-dir", str(tmp_path)])
+        == 0
+    )
+
+
+def test_cli_tsqr_bench(capsys):
+    assert (
+        main(["tsqr-bench", "--m", "2048", "--n", "32", "--leaves", "4",
+              "--iters", "2"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert '"backward_error"' in out
+
+
+def test_cli_precision_study(tmp_path, capsys):
+    assert (
+        main(["precision-study", "--sizes", "32", "--conds", "1e3",
+              "--block-size", "16", "--out", str(tmp_path / "ps")])
+        == 0
+    )
+    written = capsys.readouterr().out.strip().splitlines()
+    assert written and all(os.path.exists(p) for p in written)
+
+
+def test_cli_suite_resume_skips_done(tmp_path, capsys):
+    d = str(tmp_path)
+    assert main(["suite", "--quick", "--max-jacobians", "0",
+                 "--log-dir", d]) == 0
+    first = capsys.readouterr().out
+    assert "suite complete, 0 failures" in first
+    # resume: everything already logged -> no new case lines
+    assert main(["suite", "--quick", "--max-jacobians", "0", "--resume",
+                 "--log-dir", d]) == 0
+    second = capsys.readouterr().out
+    assert "suite complete, 0 failures" in second
+    assert second.count("tpu_block_fp32") < first.count("tpu_block_fp32")

@@ -350,3 +350,61 @@ def test_dist_qr_square_leaf_guard(mesh):
     with pytest.raises(ValueError, match="aspect"):
         dist_block_qr(A, mesh, block_size=32, mode="r",
                       panel_method="cholqr2")
+
+
+def test_dist_bgs_matches_numpy(mesh):
+    """Distributed Block Gram-Schmidt tier (round-2 VERDICT item 5a): the
+    single-chip throughput structure inside shard_map — one psum per Gram /
+    projection, Q by concatenation into the row-sharded buffer."""
+    A = np.random.default_rng(10).random((256, 128)).astype(np.float32) - 0.5
+    for pm in ("bgs", "bgs1"):
+        Q, R = dist_block_qr(A, mesh, block_size=32, mode="reduced",
+                             panel_method=pm)
+        assert Q.shape == (256, 128) and R.shape == (128, 128)
+        rep = metrics.evaluate(A, Q, np.asarray(R), precision_bits=23)
+        assert rep.backward < 1e-5, (pm, str(rep))
+        orth = float(metrics.orthogonality_error(Q))
+        # 'bgs' (BCGS2) reaches fp32 roundoff; one-pass 'bgs1' is looser.
+        assert orth < (1e-5 if pm == "bgs" else 1e-3), (pm, orth)
+        d_ref = np.abs(np.diag(np.linalg.qr(A.astype(np.float64), mode="r")))
+        np.testing.assert_allclose(
+            np.abs(np.diag(np.asarray(R))), d_ref, rtol=1e-3
+        )
+
+
+def test_dist_bgs_complete_square(mesh):
+    A = np.random.default_rng(11).random((128, 128)).astype(np.float32) - 0.5
+    Q, R = dist_block_qr(A, mesh, block_size=16, mode="complete",
+                         panel_method="bgs")
+    rep = metrics.evaluate(A, Q, np.asarray(R), precision_bits=23)
+    assert rep.all_ok, str(rep)
+
+
+def test_dist_bgs_qtb_lstsq(mesh):
+    rng = np.random.default_rng(12)
+    A = rng.random((256, 64)).astype(np.float32) - 0.5
+    xtrue = rng.random(64).astype(np.float32)
+    b = A @ xtrue
+    R, qtb = dist_block_qr(A, mesh, block_size=32, mode="r", b=b,
+                           panel_method="bgs")
+    x = np.asarray(back_substitution(np.asarray(R)[:64, :],
+                                     np.asarray(qtb)[:64, 0]))
+    np.testing.assert_allclose(x, xtrue, atol=5e-3)
+
+
+def test_dist_bgs_mixed_policy(mesh):
+    A = np.random.default_rng(13).random((256, 128)).astype(np.float32) - 0.5
+    Q, R = dist_block_qr(A, mesh, block_size=32, policy=POLICY_MIXED,
+                         mode="reduced", panel_method="bgs1")
+    rep = metrics.evaluate(A, Q, np.asarray(R), precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
+def test_dist_bgs_shape_guards(mesh):
+    A = np.random.default_rng(14).random((128, 100)).astype(np.float32)
+    with pytest.raises(ValueError, match="block_size"):
+        dist_block_qr(A, mesh, block_size=32, panel_method="bgs")  # 32 !| 100
+    A2 = np.random.default_rng(15).random((256, 128)).astype(np.float32)
+    with pytest.raises(ValueError, match="complete"):
+        dist_block_qr(A2, mesh, block_size=32, mode="complete",
+                      panel_method="bgs")

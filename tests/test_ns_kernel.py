@@ -236,3 +236,58 @@ def test_robust_fused_sign_fix():
     np.testing.assert_allclose(
         np.asarray(Qf) @ np.asarray(tf), np.asarray(P), atol=1e-4
     )
+
+
+def test_bgs2_mid_tier_quality_ladder():
+    """'bgs2' (round-2 VERDICT item 4): BCGS2 reorth + HIGHEST in-kernel
+    panel Gram/Q=PX with bf16 projections — orthogonality must land
+    strictly between bgs1 (panel-noise floor) and bgs (all-HIGHEST)."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+
+    rng = np.random.default_rng(20)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    A = jnp.asarray(a)
+    orth = {}
+    for pm, reorth, mid in (("bgs1", False, False), ("bgs2", True, True),
+                            ("bgs", True, False)):
+        R, Q, _ = jax.jit(
+            lambda x, reorth=reorth, mid=mid: _block_qr_bgs(
+                x, 128, POLICY_MIXED, True, None, 4, False,
+                reorth=reorth, ns_impl="group", mid_tier=mid,
+            )
+        )(A)
+        Qn = np.asarray(Q, dtype=np.float64)
+        orth[pm] = float(np.max(np.abs(Qn.T @ Qn - np.eye(512))))
+        recon = np.linalg.norm(Qn @ np.asarray(R, np.float64) - a)
+        assert recon / np.linalg.norm(a) < 0.02, (pm, recon)
+    assert orth["bgs2"] < orth["bgs1"], orth
+    assert orth["bgs"] <= orth["bgs2"] * 3, orth  # bgs stays the top tier
+
+
+def test_chain_cheap_converges():
+    """bf16 early NS iterations + HIGHEST tail: the converged accuracy is
+    set by the final HIGHEST steps (self-correcting iteration), so the
+    driver output must match the all-HIGHEST chain's quality class."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    A = jnp.asarray(a)
+    out = {}
+    for cheap in (False, True):
+        R, Q, _ = jax.jit(
+            lambda x, cheap=cheap: _block_qr_bgs(
+                x, 128, POLICY_FP32, True, None, 4, False,
+                reorth=False, ns_impl="group", chain_cheap=cheap,
+            )
+        )(A)
+        Qn = np.asarray(Q, dtype=np.float64)
+        out[cheap] = (
+            float(np.max(np.abs(Qn.T @ Qn - np.eye(512)))),
+            float(np.linalg.norm(Qn @ np.asarray(R, np.float64) - a)
+                  / np.linalg.norm(a)),
+        )
+        assert np.isfinite(np.asarray(R)[0, 0]), "cheap chain poisoned"
+    # same fp32-roundoff class (within 4x of the all-HIGHEST chain)
+    assert out[True][0] < max(4 * out[False][0], 1e-5), out
+    assert out[True][1] < max(4 * out[False][1], 1e-6), out

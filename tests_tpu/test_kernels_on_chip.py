@@ -1,0 +1,151 @@
+"""Compiled-Mosaic parity: every Pallas kernel vs its XLA oracle ON CHIP.
+
+Mirrors the interpret-mode tests in tests/ (same oracles, fp32 tolerances)
+but with ``interpret=False`` on the real TPU — the only way to catch
+Mosaic lowering regressions (relayouts, in-kernel precision, SMEM rules).
+Shapes are kept small so cold relay compiles stay in the tens of seconds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def test_ns_chain_on_chip():
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+    from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
+
+    rng = np.random.default_rng(0)
+    P = rng.standard_normal((1024, 128)).astype(np.float32)
+    G = jnp.asarray(P.T @ P)
+    X, t, resid = ns_chain(G, iters=8)
+    X_ref = tri_inv_chol(G, iters=8)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert float(resid) < 1e-4
+    # X t = I (t is X^{-1} at convergence)
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(X, t, precision=_HI)), np.eye(128), atol=5e-4
+    )
+
+
+def test_ninv_chain_on_chip():
+    from mixedprecisionblockqr_tpu.ops.cholqr import newton_inv
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import ninv_chain
+
+    rng = np.random.default_rng(1)
+    Qb, _ = np.linalg.qr(rng.standard_normal((512, 64)))
+    Qb = Qb * np.where(np.diag(Qb[:64]) > 0, -1.0, 1.0)[None, :]
+    S = jnp.asarray(np.eye(64) - Qb[:64].T, dtype=jnp.float32)
+    X, resid = ninv_chain(S, iters=6)
+    X_ref = newton_inv(S, iters=6)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert float(resid) < 1e-3
+
+
+def test_panel_qr_fused_on_chip():
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import panel_qr_fused
+
+    rng = np.random.default_rng(2)
+    P = jnp.asarray(rng.standard_normal((1024, 128)).astype(np.float32))
+    Q, t, resid = panel_qr_fused(P, iters=7)
+    orth = float(jnp.max(jnp.abs(
+        jnp.matmul(Q.T, Q, precision=_HI) - jnp.eye(128))))
+    recon = float(jnp.max(jnp.abs(jnp.matmul(Q, t, precision=_HI) - P)))
+    assert orth < 1e-4 and recon < 1e-3 and float(resid) < 1e-4
+
+
+def test_robust_fused_on_chip():
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import tri_cholqr_robust_fused
+
+    rng = np.random.default_rng(3)
+    U, _ = np.linalg.qr(rng.standard_normal((256, 128)))
+    V, _ = np.linalg.qr(rng.standard_normal((128, 128)))
+    P = jnp.asarray((U * np.logspace(0, -4, 128)) @ V.T, dtype=jnp.float32)
+    Q, t, X, resid = tri_cholqr_robust_fused(P)
+    orth = float(jnp.max(jnp.abs(
+        jnp.matmul(Q.T, Q, precision=_HI) - jnp.eye(128))))
+    recon = float(jnp.max(jnp.abs(jnp.matmul(Q, t, precision=_HI) - P)))
+    assert orth < 5e-3 and recon < 1e-3
+    assert float(resid) < 1e-2  # healthy edge-of-domain range
+
+
+def test_bgs_group_fused_on_chip():
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import bgs_group_fused
+
+    rng = np.random.default_rng(4)
+    Pg = jnp.asarray(rng.standard_normal((1024, 512)).astype(np.float32))
+    r, g = 128, 4
+    Qg, Rg, resid = bgs_group_fused(
+        Pg, r, iters=(6,) * g, robust=(False,) * g, bf16_dots=False
+    )
+    orth = float(jnp.max(jnp.abs(
+        jnp.matmul(Qg.T, Qg, precision=_HI) - jnp.eye(512))))
+    recon = float(jnp.max(jnp.abs(jnp.matmul(Qg, Rg, precision=_HI) - Pg)))
+    assert orth < 1e-4, orth
+    assert recon < 1e-3, recon
+    assert float(resid) < 1e-4
+
+
+def test_bgs_group_fused_bf16_dots_on_chip():
+    # The mixed-policy production configuration (single-pass bf16 MXU dots).
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import bgs_group_fused
+
+    rng = np.random.default_rng(5)
+    Pg = jnp.asarray(rng.standard_normal((1024, 512)).astype(np.float32))
+    Qg, Rg, resid = bgs_group_fused(
+        Pg, 128, iters=(6,) * 4, robust=(False,) * 4, bf16_dots=True
+    )
+    orth = float(jnp.max(jnp.abs(
+        jnp.matmul(Qg.T, Qg, precision=_HI) - jnp.eye(512))))
+    recon = float(jnp.max(jnp.abs(jnp.matmul(Qg, Rg, precision=_HI) - Pg)))
+    assert orth < 0.1, orth         # bf16 Gram-noise class (2^-8 * panels)
+    assert recon < 0.5, recon       # bf16-element class on O(30)-norm data
+    assert float(resid) < 1e-3
+
+
+def test_gemm_kernel_on_chip():
+    from mixedprecisionblockqr_tpu.ops.pallas.gemm import matmul_bf16_accum_f32
+
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((256, 384)).astype(np.float32))
+    c = matmul_bf16_accum_f32(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    ref = jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_chol_kernel_on_chip():
+    from mixedprecisionblockqr_tpu.ops.pallas.chol import chol_rinv
+
+    rng = np.random.default_rng(7)
+    P = rng.standard_normal((512, 128)).astype(np.float32)
+    G = jnp.asarray(P.T @ P + 128 * np.eye(128, dtype=np.float32))
+    R, Rinv = chol_rinv(G)
+    R_ref = np.linalg.cholesky(np.asarray(G, np.float64)).T  # upper factor
+    np.testing.assert_allclose(np.abs(np.asarray(R)), np.abs(R_ref),
+                               rtol=1e-3, atol=1e-3)
+    # R @ Rinv = I
+    np.testing.assert_allclose(
+        np.asarray(jnp.matmul(R, Rinv, precision=_HI)), np.eye(128),
+        atol=1e-3,
+    )
+
+
+def test_panel_factor_fused_on_chip():
+    from mixedprecisionblockqr_tpu.ops.householder import panel_factor
+    from mixedprecisionblockqr_tpu.ops.pallas.panel import panel_factor_fused
+
+    rng = np.random.default_rng(8)
+    P = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32))
+    V, T, Rp = panel_factor_fused(P)
+    Vr, Tr, Rr = panel_factor(P)
+    np.testing.assert_allclose(np.asarray(Rp), np.asarray(Rr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(V), np.asarray(Vr),
+                               rtol=1e-4, atol=1e-4)
