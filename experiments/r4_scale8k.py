@@ -77,3 +77,38 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def flagship16k():
+    """BF16-resident lever at 16384^2 (scan-BGS, the compile-light path).
+    Round-3: MIXED_FAST bgs1-scan = 215 ms.  Same HBM argument, 4x the
+    traffic."""
+    m = n = 16384
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
+
+    a = np.random.default_rng(0).standard_normal((m, n)).astype(np.float32)
+    A = jnp.asarray(a)
+    for name, policy in [("scan16k_bf16res", POLICY_BF16_FAST),
+                         ("scan16k_mf", POLICY_MIXED_FAST)]:
+        try:
+            drv = jax.jit(lambda x: _block_qr_bgs_scan(
+                x, 128, policy, True, None, on_tpu=True, reorth=False))
+            R_full, Q, _ = drv(A)
+            rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R_full),
+                                   precision_bits=8)
+
+            def step(x):
+                R_full, Qc, _ = drv(x)
+                return x * (1.0 + 1e-12 * R_full[0, 0].astype(jnp.float32))
+
+            sec = time_step_amortized(step, A, iters=4)
+            rec = {"variant": name, "ms": round(sec * 1e3, 1),
+                   "tflops": round(qr_flops(m, n) / sec / 1e12, 1),
+                   "backward": rep.backward, "orth": rep.orthogonality,
+                   "ok": bool(rep.all_ok), "tight": bool(rep.tight_ok)}
+            print(json.dumps(rec), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
