@@ -70,3 +70,84 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def batch2():
+    # Quality tiers at g4 (g8 lets single-pass drift span 8 panels and
+    # forfeits the reorth benefit: measured orth 7.5e-2 at g8 vs round-3's
+    # 2.7e-2 at g4); plus a clean re-measure of the 4096 bf16res timing
+    # (first read glitched to ~0).
+    cases = [
+        ("bgs2_2048_g4", 2048, POLICY_MIXED,
+         dict(reorth=True, mid_tier=True, group_panels=4)),
+        ("bgs_2048_g4", 2048, POLICY_MIXED,
+         dict(reorth=True, group_panels=4)),
+        ("bf16res_4096_g4_b", 4096, POLICY_BF16_FAST,
+         dict(reorth=False, group_panels=4)),
+        ("bf16res_4096_g8", 4096, POLICY_BF16_FAST,
+         dict(reorth=False, group_panels=8)),
+    ]
+    for name, n, policy, kw in cases:
+        try:
+            run(name, n, policy, iters=48 if n == 2048 else 24, **kw)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+def batch3():
+    # Isolate the quality-tier orth regression: robust_tail 1 (new default)
+    # vs 2 (round-3) for the reorth tiers at g4.
+    for name, kw in [
+        ("bgs_2048_g4_rt2", dict(reorth=False,)),  # placeholder replaced below
+    ]:
+        pass
+    cases = [
+        ("bgs_2048_g4_rt2", 2048, POLICY_MIXED,
+         dict(reorth=True, group_panels=4, robust_tail=2)),
+        ("bgs2_2048_g4_rt2", 2048, POLICY_MIXED,
+         dict(reorth=True, mid_tier=True, group_panels=4, robust_tail=2)),
+    ]
+    for name, n, policy, kw in cases:
+        try:
+            run(name, n, policy, iters=48, **kw)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+def batch4():
+    # HIGH-precision reorth scrub (the fix): quality tiers re-measured.
+    cases = [
+        ("bgs2_2048_g4_hi", 2048, POLICY_MIXED,
+         dict(reorth=True, mid_tier=True, group_panels=4)),
+        ("bgs2_2048_g8_hi", 2048, POLICY_MIXED,
+         dict(reorth=True, mid_tier=True, group_panels=8)),
+        ("bgs_2048_g4_hi", 2048, POLICY_MIXED,
+         dict(reorth=True, group_panels=4)),
+    ]
+    for name, n, policy, kw in cases:
+        try:
+            run(name, n, policy, iters=48, **kw)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+def batch5():
+    # Final ladder: bgs1 / bgs2 (HIGH reorth) / bgs (HIGHEST reorth),
+    # all-HIGHEST in-kernel for the reorth tiers.
+    cases = [
+        ("ladder_bgs1_g8", 2048, POLICY_MIXED,
+         dict(reorth=False, group_panels=8)),
+        ("ladder_bgs2_g4", 2048, POLICY_MIXED,
+         dict(reorth=True, mid_tier=True, group_panels=4)),
+        ("ladder_bgs_g4", 2048, POLICY_MIXED,
+         dict(reorth=True, group_panels=4)),
+    ]
+    for name, n, policy, kw in cases:
+        try:
+            run(name, n, policy, iters=48, **kw)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)

@@ -871,11 +871,25 @@ def _block_qr_bgs(
         if reorth and lam_g > 0:
             # BCGS2-style group re-projection: scrub what the single-pass
             # bf16 trailing projections left behind on this group's columns
-            # before any of its panels factor.
+            # before any of its panels factor.  The scrub itself must run
+            # ABOVE the noise it scrubs: at trailing (bf16) precision the
+            # leftover is ~2^-8-class and the reorth tiers' measured orth
+            # floor stayed ~7e-2 — no better than bgs1 (round-4 isolation,
+            # experiments/r4_tiers.jsonl).  HIGH (3-pass bf16, ~2^-14
+            # class) restores the quality ladder at ~3x the bf16 GEMM cost
+            # on just these two GEMMs per group.
             Qprev = jnp.concatenate(qcols, axis=1)
-            Cg = A[:, lam_g:g_end]
-            C2 = mm_t(Qprev.T, Cg)
-            A = A.at[:, lam_g:g_end].set((Cg - mm_t(Qprev, C2)).astype(A.dtype))
+            Cg = A[:, lam_g:g_end].astype(jnp.float32)
+            # bgs2 scrubs at HIGH (3-pass bf16, ~2^-14 class — the mid
+            # cost/quality point), bgs at HIGHEST (full fp32).
+            rp = jax.lax.Precision.HIGH if mid_tier else _HI
+            C2 = jnp.matmul(Qprev.T, Cg, precision=rp,
+                            preferred_element_type=jnp.float32)
+            A = A.at[:, lam_g:g_end].set(
+                (Cg - jnp.matmul(Qprev, C2, precision=rp,
+                                 preferred_element_type=jnp.float32)
+                 ).astype(A.dtype)
+            )
             R = R.at[:lam_g, lam_g:g_end].add(C2)
         robust_js = tuple(j >= nb - n_robust for j in js)
         if use_group and (not any(robust_js) or m0 <= 3072):
@@ -893,15 +907,16 @@ def _block_qr_bgs(
             robust_t = robust_js
             Pg = A[:, lam_g:g_end].astype(jnp.float32)
             # bgs1: all tall dots at trailing precision (max throughput).
-            # bgs (reorth): HIGHEST in-kernel — with bf16 Grams the panel
-            # noise floor (~1e-2 orth) drowns what reorthogonalization
-            # scrubs, so the reorth tier buys its quality back here.
-            # bgs2 (mid_tier): HIGHEST Gram/Q=PX only (kills the panel
-            # noise), projections stay bf16 (keeps the throughput).
+            # bgs/bgs2 (reorth): ALL in-kernel dots HIGHEST — round-4
+            # isolation (experiments/r4_tiers.jsonl) showed ANY bf16
+            # single-pass projection in the chain pins the orth floor at
+            # ~0.1 no matter what else improves (a bf16-eager-projection
+            # 'mid tier' measured 0.099 — WORSE than bgs1's 0.075 — while
+            # HIGHEST-in-kernel + HIGH reorth reaches 5.7e-4).
             is_bf16 = jnp.dtype(policy.trailing) == jnp.bfloat16
             Qg, Rg, resid = bgs_group_fused(
                 Pg, r, iters_t, robust_t,
-                bf16_dots=is_bf16 and (not reorth or mid_tier),
+                bf16_dots=is_bf16 and not reorth,
                 bf16_gram=is_bf16 and not reorth,
                 chain_cheap=chain_cheap,
                 interpret=interp,
@@ -1135,12 +1150,14 @@ def _jitted_driver(
 
     def fn(A, B=None):
         if panel_method in ("bgs", "bgs1", "bgs2"):
-            # 'bgs'  = BCGS2 reorth + HIGHEST in-kernel dots (quality);
             # 'bgs1' = single-pass, all-bf16 (max throughput);
-            # 'bgs2' = the mid-tier: BCGS2 reorth + HIGHEST panel
-            #          Gram/Q=PX, bf16 projections (round-2 VERDICT item
-            #          4 — between bgs1's panel-noise orth floor and
-            #          bgs's 1.9x cost).
+            # 'bgs2' = BCGS2 reorth at HIGH + HIGHEST in-kernel dots (the
+            #          mid tier: ~5.7e-4 orth at 2048-mixed);
+            # 'bgs'  = same with the reorth scrub at full HIGHEST.
+            # Round-4 finding: any bf16 single-pass projection anywhere in
+            # the chain pins the orth floor at ~0.1, so the reorth tiers
+            # run ALL in-kernel dots HIGHEST and differ only in the
+            # scrub's precision.
             if loop_mode == "scan":
                 return _block_qr_bgs_scan(
                     A, block_size, policy, want_q, B, on_tpu=on_tpu,

@@ -350,6 +350,134 @@ def _dist_bgs_local(
     return Qbuf, R, QtB
 
 
+def _dist_bgs_scan_local(
+    A_loc: jax.Array,
+    B_loc: Optional[jax.Array],
+    *,
+    m: int,
+    n: int,
+    block_size: int,
+    axis: str,
+    policy: DTypePolicy,
+    reorth: bool = True,
+    on_tpu: bool = False,
+):
+    """Scan-mode distributed Block Gram-Schmidt: ONE compiled panel step
+    (the ``_block_qr_bgs_scan`` structure inside shard_map).
+
+    The unrolled dist-BGS driver compiles n/r distinct panel programs; at
+    16384^2 that is 128 — unusable.  Here every panel shares one
+    ``fori_loop`` step:
+
+      * classical-GS projection against the whole (zero-initialized) Q
+        buffer — unwritten columns contribute zero coefficients, so one
+        full-width psum'd GEMM pair serves every step (BCGS2 = twice);
+      * every panel factors through the shifted three-pass scheme on
+        psum'd Grams (one step must serve the well-conditioned head and
+        the cond ~1e8 trailing corner alike) — 3 (r x r) collectives;
+      * Q materializes by ``dynamic_update_slice`` into the row-sharded
+        buffer: ZERO Q-update GEMMs, which is why this runs ~2.6x fewer
+        FLOPs than the Yamamoto scan (no m x m Q accumulation).
+
+    Returns (Qbuf_loc (h, n), R (n, n) replicated, QtB, worst_resid-
+    poisoned outputs).
+    """
+    h = A_loc.shape[0]
+    r = block_size
+    nb = n // r
+    assert n % r == 0
+    mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+
+    def psum_gram(Xl, Yl):
+        return jax.lax.psum(jnp.matmul(Xl.T, Yl, precision=_HI), axis)
+
+    def robust_panel(P_loc):
+        from mixedprecisionblockqr_tpu.ops.polar import _spectral_guard
+
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+            def chain(G, iters, refine=False):
+                return ns_chain(G, iters=iters, refine=refine)
+        else:
+            from mixedprecisionblockqr_tpu.ops.polar import (
+                _tri_refine,
+                tri_inv_chol,
+            )
+
+            def chain(G, iters, refine=False):
+                if refine:
+                    X = _tri_refine(G, iters)
+                    M = jnp.matmul(
+                        X.T, jnp.matmul(G, X, precision=_HI), precision=_HI
+                    )
+                    resid = jnp.max(jnp.abs(
+                        M - jnp.eye(r, dtype=jnp.float32)))
+                else:
+                    X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+                t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
+                return X, t, resid
+
+        G = psum_gram(P_loc, P_loc)
+        Gs = G + (1e-3 * _spectral_guard(G)) * jnp.eye(r, dtype=jnp.float32)
+        X1, _, _ = chain(Gs, 14)
+        t1 = jnp.matmul(X1.T, Gs, precision=_HI)
+        Q1 = jnp.matmul(P_loc, X1, precision=_HI)
+        M1 = psum_gram(Q1, Q1)
+        X2, t2, _ = chain(M1, 12)
+        Q2 = jnp.matmul(Q1, X2, precision=_HI)
+        M2 = psum_gram(Q2, Q2)
+        X3, t3, resid = chain(M2, 4, refine=True)
+        Qk = jnp.matmul(Q2, X3, precision=_HI)
+        t = jnp.triu(jnp.matmul(
+            t3, jnp.matmul(t2, t1, precision=_HI), precision=_HI
+        ))
+        return Qk, t, 0.01 * resid
+
+    q_dtype = policy.q_store or policy.accum
+    A_loc = A_loc.astype(policy.panel)
+    Qbuf = jnp.zeros((h, n), q_dtype)
+    R = jnp.zeros((n, n), jnp.float32)
+    kB = B_loc.shape[1] if B_loc is not None else 1
+    QtB = jnp.zeros((n, kB), jnp.float32)
+    Bc = B_loc if B_loc is not None else jnp.zeros((h, 1), jnp.float32)
+
+    def step(k, carry):
+        Qbuf, R, QtB, wr = carry
+        lam = k * r
+        P = jax.lax.dynamic_slice(A_loc, (0, lam), (h, r)).astype(
+            jnp.float32
+        )
+        C = jax.lax.psum(mm_t(Qbuf.T, P), axis)
+        P = P - mm_t(Qbuf, C)
+        if reorth:
+            C2 = jax.lax.psum(mm_t(Qbuf.T, P), axis)
+            P = P - mm_t(Qbuf, C2)
+            C = C + C2
+        Qk, t, resid = robust_panel(P)
+        wr = jnp.maximum(wr, resid)
+        Qbuf = jax.lax.dynamic_update_slice(
+            Qbuf, Qk.astype(q_dtype), (0, lam)
+        )
+        Rcol = jax.lax.dynamic_update_slice(C[:n, :], t, (lam, 0))
+        R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam))
+        if B_loc is not None:
+            QtB = jax.lax.dynamic_update_slice(
+                QtB, jax.lax.psum(mm_t(Qk.T, Bc), axis), (lam, 0)
+            )
+        return Qbuf, R, QtB, wr
+
+    Qbuf, R, QtB, worst = jax.lax.fori_loop(
+        0, nb, step, (Qbuf, R, QtB, jnp.float32(0.0))
+    )
+    R = jnp.triu(R)
+    from mixedprecisionblockqr_tpu.ops.blockqr import _poison_if_unconverged
+
+    R, Qbuf, QtB = _poison_if_unconverged(worst, R, Qbuf, QtB)
+    return Qbuf, R, QtB
+
+
 def _dist_qr_local(
     A_loc: jax.Array,
     Q_loc: Optional[jax.Array],
@@ -572,22 +700,30 @@ def _jitted_dist_bgs(
     reorth: bool = True,
     group_panels: int = 4,
     on_tpu: bool = False,
+    loop_mode: str = "unroll",
 ):
     mesh = _MESHES[mesh_key]
 
     def fn(A, B):
-        Qbuf, R, QtB = _dist_bgs_local(
-            A,
-            B if with_b else None,
-            m=m,
-            n=n,
-            block_size=block_size,
-            axis=axis,
-            policy=policy,
-            group_panels=group_panels,
-            reorth=reorth,
-            on_tpu=on_tpu,
-        )
+        if loop_mode == "scan":
+            Qbuf, R, QtB = _dist_bgs_scan_local(
+                A, B if with_b else None, m=m, n=n,
+                block_size=block_size, axis=axis, policy=policy,
+                reorth=reorth, on_tpu=on_tpu,
+            )
+        else:
+            Qbuf, R, QtB = _dist_bgs_local(
+                A,
+                B if with_b else None,
+                m=m,
+                n=n,
+                block_size=block_size,
+                axis=axis,
+                policy=policy,
+                group_panels=group_panels,
+                reorth=reorth,
+                on_tpu=on_tpu,
+            )
         return Qbuf, R, QtB
 
     # R / QtB are built exclusively from psum results and replicated chain
@@ -666,6 +802,7 @@ def dist_block_qr(
         fn = _jitted_dist_bgs(
             m, n, d, min(block_size, n), policy, b is not None, axis,
             _mesh_key(mesh), panel_method == "bgs", 4, _on_tpu(),
+            loop_mode,
         )
         Qbuf, R, QtB = fn(A_sh, B)
         if not bool(jnp.isfinite(R[0, 0])):
