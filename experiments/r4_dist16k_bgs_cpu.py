@@ -39,14 +39,14 @@ def main():
     t0 = time.time()
     Q, R = dist_block_qr(
         jnp.asarray(a), mesh, block_size=128, policy=POLICY_FP32,
-        mode="complete", loop_mode="scan", panel_method="bgs",
+        mode="complete", loop_mode="scan", panel_method="bgs1",
     )
     Q = jax.block_until_ready(Q)
     wall = time.time() - t0
     rep = metrics.evaluate(a, Q, R, precision_bits=23)
     row = {
         "config": "16384^2 complete-Q dist_block_qr, 8-device CPU mesh, "
-                  "scan-BGS (BCGS2 + robust panels), fp32, block 128",
+                  "scan-BGS1 (single-pass + robust panels), fp32, block 128",
         "wall_s": round(wall, 1),
         "backward": rep.backward,
         "orthogonality": rep.orthogonality,

@@ -86,16 +86,52 @@ def flagship16k():
     m = n = 16384
     from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
 
-    a = np.random.default_rng(0).standard_normal((m, n)).astype(np.float32)
-    A = jnp.asarray(a)
+    # Device-side data + metrics: host<->device transfers of 16384^2
+    # buffers cost minutes over the tunnel and starved earlier attempts.
+    A = jax.random.uniform(jax.random.PRNGKey(0), (m, n),
+                           jnp.float32, -0.5, 0.5)
+    A = jax.block_until_ready(A)
     for name, policy in [("scan16k_bf16res", POLICY_BF16_FAST),
                          ("scan16k_mf", POLICY_MIXED_FAST)]:
         try:
             drv = jax.jit(lambda x: _block_qr_bgs_scan(
                 x, 128, policy, True, None, on_tpu=True, reorth=False))
             R_full, Q, _ = drv(A)
-            rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R_full),
-                                   precision_bits=8)
+            rep = metrics.evaluate(A, Q, R_full, precision_bits=8)
+
+            def step(x):
+                R_full, Qc, _ = drv(x)
+                return x * (1.0 + 1e-12 * R_full[0, 0].astype(jnp.float32))
+
+            sec = time_step_amortized(step, A, iters=4)
+            rec = {"variant": name, "ms": round(sec * 1e3, 1),
+                   "tflops": round(qr_flops(m, n) / sec / 1e12, 1),
+                   "backward": rep.backward, "orth": rep.orthogonality,
+                   "ok": bool(rep.all_ok), "tight": bool(rep.tight_ok)}
+            print(json.dumps(rec), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+def flagship16k_grouped():
+    """Grouped scan (one Qbuf pass per GROUP): divides the dominant m x n
+    buffer traffic by g at 16384^2."""
+    m = n = 16384
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
+
+    A = jax.random.uniform(jax.random.PRNGKey(0), (m, n),
+                           jnp.float32, -0.5, 0.5)
+    A = jax.block_until_ready(A)
+    for name, g in [("scan16k_g4", 4), ("scan16k_g8", 8)]:
+        try:
+            drv = jax.jit(lambda x: _block_qr_bgs_scan(
+                x, 128, POLICY_MIXED_FAST, True, None, on_tpu=True,
+                reorth=False, group_panels=g))
+            R_full, Q, _ = drv(A)
+            rep = metrics.evaluate(A, Q, R_full, precision_bits=8)
 
             def step(x):
                 R_full, Qc, _ = drv(x)

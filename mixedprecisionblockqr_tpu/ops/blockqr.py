@@ -1023,9 +1023,18 @@ def _block_qr_bgs_scan(
     B: Optional[jax.Array],
     on_tpu: bool = False,
     reorth: bool = True,
+    group_panels: int = 1,
 ):
     """Scan-mode Block Gram-Schmidt: ONE compiled panel step, classical-GS
     projections against a preallocated Q buffer.
+
+    ``group_panels > 1`` runs a GROUPED scan (round-4): each fori step
+    factors g panels, projecting the whole group against Qbuf ONCE (plus
+    eager in-group projections on static column slices).  The scan driver
+    is Qbuf-BANDWIDTH-bound at 16384^2 — every per-panel step reads the
+    m x n buffer twice (~137 GB total at g=1 ≈ the measured 218 ms) — so
+    grouping divides the dominant traffic by g.  Falls back to g=1 when
+    g does not divide nb.
 
     The unrolled BGS driver (``_block_qr_bgs``) compiles n/r distinct panel
     programs — minutes-to-hours at 8192+ over the remote-compile relay.
@@ -1089,35 +1098,68 @@ def _block_qr_bgs_scan(
     QtB = jnp.zeros((n, kB), jnp.float32)
     Bc = B if B is not None else jnp.zeros((m, 1), jnp.float32)
 
+    # Grouping reorders the SAME single-pass CGS math (one Qbuf pass per
+    # group + eager in-group projections), so it serves the bgs1 tier
+    # unchanged; the reorth tiers need their BCGS2 second pass against the
+    # freshly-written in-group panels too — grouping would skip it
+    # (measured orth 1.3e-4 vs the 6.1e-5 fp32 criterion at 512^2) — so
+    # they stay per-panel.
+    g = (
+        group_panels
+        if group_panels > 1 and nb % group_panels == 0 and not reorth
+        else 1
+    )
+    gw = g * r
+
     def step(k, carry):
         Qbuf, R, QtB, wr = carry
-        lam = k * r
-        P = jax.lax.dynamic_slice(A, (0, lam), (m, r)).astype(policy.accum)
-        # Classical-GS projection against every written Q column (columns
-        # >= lam are still zero -> zero coefficients, exact no-ops).
-        C = mm_t(Qbuf.T, P)
-        P = P - mm_t(Qbuf, C)
-        if reorth:
-            C2 = mm_t(Qbuf.T, P)
-            P = P - mm_t(Qbuf, C2)
-            C = C + C2
-        Qk, t, resid = _panel(P)
-        wr = jnp.maximum(wr, 0.01 * resid)  # all-robust panels: 1e-2 tol
-        Qbuf = jax.lax.dynamic_update_slice(
-            Qbuf, Qk.astype(q_dtype), (0, lam)
+        lam_g = k * gw
+        Cg = jax.lax.dynamic_slice(A, (0, lam_g), (m, gw)).astype(
+            policy.accum
         )
-        # R column block: projection coefficients on top (rows < lam; the
-        # rows in [lam, lam+r) are zero pre-update), t at the diagonal.
-        Rcol = jax.lax.dynamic_update_slice(C[:n, :], t, (lam, 0))
-        R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam))
-        if B is not None:
-            QtB = jax.lax.dynamic_update_slice(
-                QtB, mm_t(Qk.T, Bc), (lam, 0)
+        # Classical-GS projection of the WHOLE group against every written
+        # Q column (columns >= lam_g are still zero -> zero coefficients,
+        # exact no-ops) — ONE full-width pass over Qbuf per group.
+        C = mm_t(Qbuf.T, Cg)
+        Cg = Cg - mm_t(Qbuf, C)
+        if reorth:
+            C2 = mm_t(Qbuf.T, Cg)
+            Cg = Cg - mm_t(Qbuf, C2)
+            C = C + C2
+        # Rcol accumulates the group's (n, gw) coefficient block: previous
+        # groups' coefficients from C, then per-panel t / in-group
+        # projections at dynamic row offsets.
+        Rcol = C[:n, :]
+        for j in range(g):  # static unroll inside the one compiled step
+            P = Cg[:, j * r : (j + 1) * r]
+            Qk, t, resid = _panel(P)
+            wr = jnp.maximum(wr, 0.01 * resid)  # robust panels: 1e-2 tol
+            Qbuf = jax.lax.dynamic_update_slice(
+                Qbuf, Qk.astype(q_dtype), (0, lam_g + j * r)
             )
+            row = lam_g + j * r
+            row = jnp.asarray(row)
+            jr = jnp.full((), j * r, dtype=row.dtype)  # index dtypes match
+            zero = jnp.zeros((), row.dtype)
+            if j + 1 < g:
+                # eager in-group projection (static column slices)
+                Ct = Cg[:, (j + 1) * r :]
+                G1 = mm_t(Qk.T, Ct)
+                Cg = Cg.at[:, (j + 1) * r :].set(Ct - mm_t(Qk, G1))
+                Rcol = jax.lax.dynamic_update_slice(
+                    Rcol, jnp.concatenate([t, G1], axis=1), (row, jr)
+                )
+            else:
+                Rcol = jax.lax.dynamic_update_slice(Rcol, t, (row, jr))
+            if B is not None:
+                QtB = jax.lax.dynamic_update_slice(
+                    QtB, mm_t(Qk.T, Bc), (row, zero)
+                )
+        R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam_g))
         return Qbuf, R, QtB, wr
 
     Qbuf, R, QtB, worst_resid = jax.lax.fori_loop(
-        0, nb, step, (Qbuf, R, QtB, jnp.float32(0.0))
+        0, nb // g, step, (Qbuf, R, QtB, jnp.float32(0.0))
     )
 
     R_full = (
@@ -1162,6 +1204,7 @@ def _jitted_driver(
                 return _block_qr_bgs_scan(
                     A, block_size, policy, want_q, B, on_tpu=on_tpu,
                     reorth=panel_method in ("bgs", "bgs2"),
+                    group_panels=group_panels,
                 )
             return _block_qr_bgs(
                 A, block_size, policy, want_q, B,
