@@ -107,12 +107,13 @@ def resolve_panel_config(
         'householder' (the unconditionally robust tier);
       * fp32-class policies -> 'bgs' (BCGS2 reorth; measured fp32-roundoff
         quality at 2048^2: backward 2.7e-7 / orth 3.3e-6);
-      * mixed/bf16 policies -> the measured winners: n <= 3072 'bgs1' with
-        group_panels=8 (op-dispatch-bound regime, group-kernel fusion:
-        292us/98 TFLOP/s at 2048^2); ~4096 'cholqr1' (GEMM-dominated:
-        150 TF); <= 12288 'bgs1' g4 (group kernels VMEM-capped above 5120,
-        per-panel chain kernels: 100 TF at 8192); larger -> scan-mode
-        'bgs1' (compile-light: 215 ms at 16384^2).
+      * mixed/bf16 policies -> the measured winners (BENCH_NOTES round 4):
+        n <= 3072 'bgs1' g8 (op-dispatch-bound regime, group-kernel
+        fusion: ~290us / ~100 TFLOP/s at 2048^2 with POLICY_MIXED_FAST);
+        ~4096 'cholqr1' (GEMM-dominated: 150 TF); <= 12288 'bgs1' g4
+        (HBM-bound regime — POLICY_BF16_FAST reaches 155.8 TF at 8192);
+        larger -> GROUPED scan-mode 'bgs1' g4 (one Qbuf pass per group:
+        134.5 ms / 109 TF at 16384^2).
     Off TPU auto always resolves to 'householder' (CPU runs are the oracle
     surface; reference semantics).
     """
