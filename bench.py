@@ -10,6 +10,13 @@ of the chip's bf16 MXU peak (BASELINE.json: ">=50% of MXU peak per chip");
 >= 1.0 means the target is met.  FLOPs use the reference's own analytic QR
 model (``h_qr_flops_per_second``, ``Cuda/qr.cu:102-113``).  Error metrics are
 asserted against the reference's acceptance criteria before timing counts.
+
+Round-5: the timed program is the PUBLIC ``block_qr`` path end-to-end —
+``panel_method='auto'`` dispatch + ``check='defer'`` (no host sync, pure —
+so the whole public call traces into the in-jit timing loop), which resolves
+to the bgs1 group-kernel configuration below (round-3 VERDICT item 3: the
+bench must cost what a user's ``mpq.qr()`` costs; face-off vs the internal
+driver in experiments/r5_faceoff.jsonl — public within noise of internal).
 """
 
 import json
@@ -29,28 +36,16 @@ from mixedprecisionblockqr_tpu.utils.timing import (
 
 M = N = 2048
 BLOCK = 128
-# Block Gram-Schmidt with triangular Newton-Schulz panels
-# (ops/blockqr.py::_block_qr_bgs, single-pass): no chol/solve custom
-# calls, Q materializes by concatenation (zero Q-update GEMMs), and — the
-# round-3 lever — the whole per-GROUP factorization chain (4 panels'
-# Gram + NS iterations + Q products + eager projections) runs as ONE
-# Mosaic kernel (ops/pallas/ns.py::bgs_group_fused; the drivers are
-# op-dispatch-bound at ~0.7us/XLA-op, so chain fusion is what XLA alone
-# cannot express).  Face-off at this config (experiments/r3_ns_kernel
-# .jsonl): group-of-8 292us / 98 TFLOP/s (the 50%-of-peak target),
-# group-of-4 330us / 87, vs 574us / 50 for the round-2 XLA chain and
-# 990us / 29 for round-1 cholqr1.  'bgs' (reorthogonalized) and 'polar'
-# are the tighter-orthogonality tiers; 'householder' the robust tier.
-PANEL_METHOD = "bgs1"
-GROUP_PANELS = 8
-# Round-4 additions on top (experiments/r4_headline.jsonl, same-session
-# face-off vs the round-3 config at 331-337 us): bf16-resident Q output
-# (POLICY_MIXED_FAST: -27 us of output traffic) and ONE robust tail panel
-# instead of two (-39 us; quality identical, the poison canary guards
-# hostile data loudly) -> 272-316 us / 90-105 TFLOP/s across the session.
-# Negative result recorded: bf16 early NS iterations (chain_cheap)
-# NaN-poisoned ON CHIP despite passing in interpret mode.
-ROBUST_TAIL = 1
+# The auto dispatch (ops/blockqr.py::resolve_panel_config) resolves this
+# config to: Block Gram-Schmidt 'bgs1', group_panels=8, robust_tail=1 —
+# the whole per-GROUP factorization chain (8 panels' Gram + NS iterations
+# + Q products + eager projections) as ONE Mosaic kernel
+# (ops/pallas/ns.py::bgs_group_fused).  The drivers are op-DISPATCH bound
+# (~0.7us per in-context XLA op), so chain fusion is the lever; round-5
+# added emulated-HIGH (3-pass bf16 split) early NS iterations (chain_mid)
+# — half of HIGHEST's MXU passes on the dominant in-kernel cost — for
+# 272 -> ~245-250 us (experiments/r5_headline.jsonl, r5_faceoff.jsonl).
+# POLICY_MIXED_FAST: bf16-resident Q output (the round-4 traffic cut).
 POLICY = POLICY_MIXED_FAST
 
 
@@ -58,27 +53,30 @@ def main() -> int:
     a = np.random.default_rng(0).random((M, N), dtype=np.float32) - 0.5
     A = jnp.asarray(a)
 
-    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
 
-    driver = jax.jit(
-        lambda x: _block_qr_bgs(
-            x, BLOCK, POLICY, True, None, group_panels=GROUP_PANELS,
-            on_tpu=True, reorth=False, robust_tail=ROBUST_TAIL,
+    # The public driver, jitted end-to-end: auto dispatch happens at trace
+    # time, check='defer' adds no host synchronization (the NaN canary
+    # rides in R[0,0] and is asserted by the quality gate below).
+    public = jax.jit(
+        lambda x: block_qr(
+            x, BLOCK, POLICY, mode="complete", panel_method="auto",
+            check="defer",
         )
     )
 
     # Quality gate first (the EXACT program the timing loop runs).
-    R_full, Q, _ = driver(A)
+    Q, R_full = public(A)
     rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R_full),
                            precision_bits=POLICY.precision_bits)
 
     # Amortized device timing (tunnel-latency safe; utils/timing.py).
     def step(x):
-        R_full, Qc, _ = driver(x)
+        Qc, R_full = public(x)
         return x * (1.0 + 1e-12 * R_full[0, 0].astype(jnp.float32))
 
     # iters must be large enough that the differenced signal (iters *
-    # step_time ~ 28 ms at 96) dominates the tunnel's ~5 ms fetch-latency
+    # step_time ~ 24 ms at 96) dominates the tunnel's ~5 ms fetch-latency
     # noise: iters=24 measured a physically impossible 410 TFLOP/s once
     # (noise comparable to the 7 ms signal).
     seconds = time_step_amortized(step, A, iters=96)
@@ -109,6 +107,7 @@ def main() -> int:
         "device": jax.devices()[0].device_kind,
         "block_size": BLOCK,
         "target_tflops_50pct_peak": target,
+        "timed_path": "public block_qr(panel_method='auto', check='defer')",
     }
     print(json.dumps(result))
     return 0 if (rep.all_ok and rep.tight_ok) else 1

@@ -56,6 +56,7 @@ from mixedprecisionblockqr_tpu.ops.pivoted import (
     pivoted_qr,
     pivoted_qr_qtb,
 )
+from mixedprecisionblockqr_tpu.utils.checks import checked_qr, NonFiniteError
 from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_batched, tsqr_sharded
 from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
 from mixedprecisionblockqr_tpu.parallel.caqr import caqr
@@ -93,6 +94,8 @@ __all__ = [
     "cholesky_qr2",
     "dist_block_qr",
     "qr",
+    "checked_qr",
+    "NonFiniteError",
     "tsqr_batched",
     "metrics",
     "tsqr",

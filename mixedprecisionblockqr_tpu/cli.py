@@ -69,6 +69,13 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
         help="reflector/panel aggregation factor for bgs/bgs1/polar "
              "(8 = the bench headline config at 2048^2)",
     )
+    p.add_argument(
+        "--quality", default=None,
+        choices=["fast", "balanced", "high", "robust"],
+        help="speed/orthogonality ladder for --panel-method auto "
+             "(2048^2 mixed: fast ~300us/orth 7.5e-2, balanced ~721us/"
+             "5.7e-4, high ~906us/3.4e-5, robust = Householder-grade)",
+    )
     p.add_argument("--log-dir", default="log")
 
 
@@ -87,7 +94,8 @@ def cmd_qr(args) -> int:
     Q, R = block_qr(
         a, block_size=args.block_size, policy=policy, mode="complete",
         panel_method=args.panel_method, loop_mode=args.loop_mode,
-        group_panels=args.group_panels,
+        group_panels=args.group_panels, quality=args.quality,
+        check="sync",  # CLI materializes results: take the robust retry
     )
     rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
     dt = time.perf_counter() - t0  # includes compile; see `bench` for rates
@@ -129,6 +137,7 @@ def cmd_bench(args) -> int:
             A, block_size=min(args.block_size, s), policy=policy,
             mode="complete", panel_method=args.panel_method,
             loop_mode=args.loop_mode, group_panels=args.group_panels,
+            quality=args.quality, check="sync",
         )
         rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
 
@@ -145,6 +154,7 @@ def cmd_bench(args) -> int:
         pm, lm, gp = resolve_panel_config(
             s, s, args.block_size, policy, args.panel_method,
             args.loop_mode, args.group_panels, mode="complete",
+            quality=args.quality,
         )
         drv = _jitted_driver(
             r_eff, policy, True, False, pm, lm, _on_tpu(), gp,
@@ -219,7 +229,12 @@ def cmd_suite(args) -> int:
         if (name, a.shape[0], a.shape[1]) in done:
             return
         t0 = time.perf_counter()
-        Q, R = block_qr(a, block_size=r, policy=policy, mode="complete")
+        # The suite exercises what users get: auto dispatch (the measured
+        # per-size tier on TPU) with the sync canary/retry — mirroring the
+        # reference's main() running its flagship drivers over the tables
+        # (``Cuda/main.cu:11-26``).
+        Q, R = block_qr(a, block_size=r, policy=policy, mode="complete",
+                        panel_method="auto", check="sync")
         rep = metrics.evaluate(a, Q, R, precision_bits=bits)
         dt = time.perf_counter() - t0
         logger.write_csv(name, a.shape[0], a.shape[1], dt,
@@ -245,6 +260,7 @@ def cmd_suite(args) -> int:
         a = case.load()
         if a.shape[0] < a.shape[1]:
             continue
+        run_case("tpu_jacobian_fp32", a, 128, POLICY_FP32, 23)
         run_case("tpu_jacobian_mixed", a, 128, POLICY_MIXED, 8)
 
     print(f"suite complete, {failures} failures")
@@ -303,6 +319,12 @@ def cmd_dist(args) -> int:
             # Distributed BGS tier: full-height panels (no square-leaf
             # hazard), one psum per Gram/projection, Q by concatenation.
             args.panel_method = "bgs"
+            if n_ // r_ > 32 and args.loop_mode == "unroll":
+                # Large panel counts: the unrolled driver compiles n/r
+                # distinct panel programs (minutes-to-hours over the
+                # remote-compile relay) — switch to the grouped scan tier,
+                # matching resolve_panel_config (round-3 ADVICE item 4).
+                args.loop_mode = "scan"
         elif per_dev_rows >= 2 * args.block_size:
             # Shifted CholeskyQR2 leaves (plain cholqr2 collapsed at
             # 8192^2 — BENCH_NOTES round-3 trailing-corner fix).
@@ -332,6 +354,7 @@ def cmd_dist(args) -> int:
         a, mesh, block_size=args.block_size, policy=policy, mode=mode,
         panel_method=args.panel_method,
         loop_mode=args.loop_mode,
+        group_panels=args.group_panels,
     )
     rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
     print(f"devices={len(jax.devices())} mesh={dict(mesh.shape)}")

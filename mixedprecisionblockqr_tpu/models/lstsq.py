@@ -161,7 +161,7 @@ def lstsq_pivoted(A, b, rcond: float | None = None):
     bc = b[:, None] if squeeze else b
     m, n = A.shape
     R, qtb, perm = pivoted_qr_qtb(A, bc)
-    k = numerical_rank(R, rcond=rcond)
+    k = numerical_rank(R, rcond=rcond, m=m)
     if k == 0:
         x = jnp.zeros((n,) + (() if squeeze else (bc.shape[1],)), jnp.float32)
         return x
@@ -234,8 +234,11 @@ def lstsq(
             r = bc - jnp.matmul(A, x, precision=_HI)
             x = x + back_substitution(Rc, apply_qt(factors, r)[:n, :])
         return x[:, 0] if squeeze else x
+    # check='sync': the solver is host-synchronous anyway (the rank
+    # tripwire below fetches diag(R)), so take the transparent
+    # robust-retry path on NS-tier breakdowns instead of NaN propagation.
     R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy,
-                          panel_method=panel_method)
+                          panel_method=panel_method, check="sync")
     Rn = R[:n, :] if R.shape[0] >= n else R
     if rcond is None or rcond > 0:
         # Rank-deficiency tripwire on the (unpivoted) diagonal: plain QR

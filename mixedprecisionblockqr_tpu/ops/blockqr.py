@@ -82,6 +82,15 @@ def check_policy_method(policy: DTypePolicy, panel_method: str) -> None:
         )
 
 
+#: The measured quality ladder at 2048^2 mixed (BENCH_NOTES round-4):
+#:   'fast'     -> bgs1  ~300us, orth ~7.5e-2 (single-pass bf16 projections)
+#:   'balanced' -> bgs2  ~721us, orth ~5.7e-4 (HIGH reorth scrub)
+#:   'high'     -> bgs   ~906us, orth ~3.4e-5 (HIGHEST reorth scrub)
+#:   'robust'   -> householder (unconditionally Householder-grade)
+QUALITY_LEVELS = ("fast", "balanced", "high", "robust")
+_QUALITY_BGS = {"fast": "bgs1", "balanced": "bgs2", "high": "bgs"}
+
+
 def resolve_panel_config(
     m: int,
     n: int,
@@ -92,6 +101,7 @@ def resolve_panel_config(
     group_panels: int,
     mode: str = "reduced",
     on_tpu: Optional[bool] = None,
+    quality: Optional[str] = None,
 ) -> Tuple[str, str, int]:
     """The library's dispatch table: resolve ``panel_method='auto'`` and
     apply the shape-fallback chain, returning the effective
@@ -119,6 +129,16 @@ def resolve_panel_config(
     """
     if on_tpu is None:
         on_tpu = _on_tpu()
+    if quality is not None:
+        if quality not in QUALITY_LEVELS:
+            raise ValueError(
+                f"quality must be one of {QUALITY_LEVELS}, got {quality!r}"
+            )
+        if panel_method != "auto":
+            raise ValueError(
+                "quality= is the auto-dispatch ladder knob; it cannot be "
+                f"combined with an explicit panel_method={panel_method!r}"
+            )
     r = min(block_size, n)
     if panel_method == "auto":
         hostile = n % r != 0 or n < 2 * block_size or m < n
@@ -126,12 +146,26 @@ def resolve_panel_config(
             not on_tpu
             or hostile
             or jnp.dtype(policy.panel) == jnp.float64
+            or quality == "robust"
         ):
             panel_method = "householder"
         elif jnp.dtype(policy.trailing) == jnp.float32:
-            panel_method = "bgs"
+            # fp32 policies default to the 'high' rung (fp32-roundoff
+            # orthogonality); quality= can trade down for throughput.
+            panel_method = _QUALITY_BGS["high" if quality is None else quality]
             if max(m, n) > 12288:
                 loop_mode = "scan"
+        elif quality in ("balanced", "high"):
+            # Mixed/bf16 ladder rungs (BENCH_NOTES round-4, 2048^2 mixed):
+            # bgs2 721us/orth 5.7e-4, bgs 906us/3.4e-5 — vs bgs1's
+            # ~300us/7.5e-2.  Same size->loop/group map as the fast rung.
+            panel_method = _QUALITY_BGS[quality]
+            if max(m, n) <= 3072:
+                group_panels = 8
+            elif max(m, n) > 12288:
+                loop_mode, group_panels = "scan", 4
+            else:
+                group_panels = 4
         else:
             if max(m, n) <= 3072:
                 panel_method, group_panels = "bgs1", 8
@@ -697,6 +731,19 @@ def _block_qr_grouped(
     return R_full, Q, B
 
 
+def _group_kernel_fits(m0: int, r: int, group_panels: int) -> bool:
+    """Mosaic scoped-VMEM gate for ``bgs_group_fused``: the aliased
+    m x g*r buffer plus the robust tail chain's ~5 m x r live
+    intermediates must fit the 16 MB stack (measured OOM: 19.12 MB at
+    m=4096/g4/r=128).  ``MPBQR_GROUP_ANY_M=1`` lifts the m-cap for VMEM
+    experiments.  Shared by the driver and the boundary-behavior tests."""
+    import os as _os
+
+    return (
+        m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1"
+    ) and m0 * r * group_panels * 4 <= 10 * 2**20
+
+
 def _poison_if_unconverged(worst_resid, R_full, Q, B, tol: float = 1e-4):
     """Fail LOUDLY instead of silently wrong: when any panel's NS residual
     exceeds ``tol`` (correlated data can out-cond the fixed iteration
@@ -737,6 +784,9 @@ def _block_qr_bgs(
     tail_bump: int = 4,
     mid_tier: bool = False,
     chain_cheap: bool = False,
+    chain_mid: bool = False,
+    mid_final: int = 2,
+    robust_iters: tuple = (14, 12, 4),
 ):
     """Right-looking Block Gram-Schmidt QR — the throughput flagship
     (``panel_method='bgs'``).
@@ -815,10 +865,8 @@ def _block_qr_bgs(
     # measured 18 TF vs ~80 at two groups).
     if ns_impl == "group" and n0 // min(block_size, n0) <= group_panels:
         group_panels = max(2, (n0 // min(block_size, n0)) // 2)
-    use_group = (
-        ns_impl == "group"
-        and (m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1")
-        and m0 * min(block_size, n0) * group_panels * 4 <= 10 * 2**20
+    use_group = ns_impl == "group" and _group_kernel_fits(
+        m0, min(block_size, n0), group_panels
     )
     use_fused = ns_impl == "fused"
     # Per-panel kernels serve both 'pallas' proper and the robust-tail
@@ -920,6 +968,9 @@ def _block_qr_bgs(
                 bf16_dots=is_bf16 and not reorth,
                 bf16_gram=is_bf16 and not reorth,
                 chain_cheap=chain_cheap,
+                chain_mid=chain_mid,
+                mid_final=mid_final,
+                robust_iters=tuple(robust_iters),
                 interpret=interp,
             )
             worst_resid = jnp.maximum(worst_resid, resid)
@@ -1212,6 +1263,12 @@ def _jitted_driver(
                 group_panels=group_panels, on_tpu=on_tpu,
                 reorth=panel_method in ("bgs", "bgs2"),
                 mid_tier=panel_method == "bgs2",
+                # Round-5: the fast tier's early NS iterations run at
+                # emulated HIGH (3-pass bf16 split) — on-chip parity at
+                # identical quality, ~6-15% faster (experiments/
+                # r5_headline.jsonl).  The reorth rungs keep full-HIGHEST
+                # chains (their orth floor is the selling point).
+                chain_mid=panel_method == "bgs1",
             )
         if panel_method == "polar":
             return _block_qr_grouped(
@@ -1237,6 +1294,8 @@ def block_qr(
     panel_method: str = "householder",
     loop_mode: str = "unroll",
     group_panels: int = 4,
+    quality: Optional[str] = None,
+    check: str = "defer",
 ):
     """Blocked WY Householder QR: A = QR.
 
@@ -1250,12 +1309,30 @@ def block_qr(
         mode: 'reduced' -> (Q[:, :n], R[:n]); 'complete' -> (Q, R); 'r' ->
             R only (skips all Q-accumulation GEMMs).
         panel_method: 'householder' (robust, reference semantics),
-            'cholqr1'/'cholqr2'/'cholqr2s' (all-MXU CholeskyQR panels), or
-            'polar' (fastest: chol-free Newton-Schulz panels + group-
-            aggregated W-form updates, ``_block_qr_grouped``; needs
-            block_size | n and n >= 2*block_size, falls back to cholqr1).
-        group_panels: reflector-aggregation factor for 'polar' — trailing
+            'cholqr1'/'cholqr2'/'cholqr2s' (all-MXU CholeskyQR panels),
+            'polar' (chol-free Newton-Schulz panels + group-aggregated
+            W-form updates), 'bgs'/'bgs2'/'bgs1' (Block Gram-Schmidt
+            quality ladder), or 'auto' (the measured per-size dispatch;
+            see ``qr``).
+        group_panels: reflector/projection aggregation factor — trailing
             matrix / B / Q are each touched once per group.
+        quality: speed/orthogonality ladder knob for ``panel_method='auto'``
+            (requires it): 'fast' ~7.5e-2 orth at 2048^2-mixed (~300us),
+            'balanced' ~5.7e-4 (~721us), 'high' ~3.4e-5 (~906us),
+            'robust' = Householder-grade for hostile spectra.  Measured
+            ladder: BENCH_NOTES.md round-4.
+        check: NaN-canary handling for the Newton-Schulz tiers, which
+            poison R[0,0]/Q[0,0] when a panel under-converges
+            (``_poison_if_unconverged``):
+            * 'defer' (default) — no host synchronization; a breakdown
+              surfaces as NaN in the outputs at first materialization
+              (inspect with ``utils.checks.checked_qr``).  Keeps the call
+              fully async/pipelineable — the factorization itself never
+              blocks on a device->host fetch.
+            * 'sync' — one blocking scalar fetch per call; on breakdown the
+              factorization transparently reruns through the robust
+              reflector tier ('householder', or 'cholqr2s' in scan mode)
+              and raises ``NonFiniteError`` if even that fails.
     """
     A = jnp.asarray(A)
     if A.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
@@ -1265,29 +1342,42 @@ def block_qr(
             "POLICY_FP64 requires jax_enable_x64 "
             "(jax.config.update('jax_enable_x64', True))"
         )
+    if check not in ("defer", "sync", "off"):
+        raise ValueError(f"check must be 'defer'|'sync'|'off', got {check!r}")
     m, n = A.shape
     if m < n:
         raise ValueError(f"block_qr requires m >= n, got {A.shape}")
     want_q = mode in ("reduced", "complete")
     panel_method, loop_mode, group_panels = resolve_panel_config(
         m, n, block_size, policy, panel_method, loop_mode, group_panels,
-        mode=mode,
+        mode=mode, quality=quality,
     )
     R_full, Q, _ = _jitted_driver(
         block_size, policy, want_q, False, panel_method, loop_mode, _on_tpu(),
         group_panels,
     )(A)
-    if panel_method in _NS_TIERS and not bool(
-        jnp.isfinite(R_full[0, 0])
+    if (
+        check == "sync"
+        and panel_method in _NS_TIERS
+        and not bool(jnp.isfinite(R_full[0, 0]))
     ):
-        # The Newton-Schulz drivers poison their outputs with NaN when a
-        # panel under-converges (correlated/ill-conditioned data; see
-        # _poison_if_unconverged).  One scalar fetch detects it here and
-        # the factorization reruns through the direct-Cholesky driver.
+        # NaN canary fired (NS under-convergence on hostile data): rerun
+        # through the unconditionally robust reflector tier.  cholqr1 is
+        # NOT a valid retry target — its Cholesky NaNs on exactly the
+        # indefinite/ill-conditioned Grams that trigger poisoning
+        # (round-3 ADVICE item 1).
+        retry_pm = "cholqr2s" if loop_mode == "scan" else "householder"
         R_full, Q, _ = _jitted_driver(
-            block_size, policy, want_q, False, "cholqr1", loop_mode,
+            block_size, policy, want_q, False, retry_pm, loop_mode,
             _on_tpu(),
         )(A)
+        if not bool(jnp.isfinite(R_full[0, 0])):
+            from mixedprecisionblockqr_tpu.utils.checks import NonFiniteError
+
+            raise NonFiniteError(
+                f"block_qr: non-finite factorization even via {retry_pm!r} "
+                "— the input likely contains NaN/Inf"
+            )
     if mode == "r":
         return R_full[:n, :]
     if mode == "reduced":
@@ -1303,32 +1393,42 @@ def block_qr_qtb(
     block_size: int = DEFAULT_BLOCK_SIZE,
     policy: DTypePolicy = POLICY_FP32,
     panel_method: str = "householder",
+    quality: Optional[str] = None,
+    check: str = "defer",
 ) -> Tuple[jax.Array, jax.Array]:
     """Factor A and return (R (n x n), Q^T B) without materializing Q.
 
     The least-squares fast path: B is updated by each panel's block reflector
-    in the same pass as the trailing matrix.
+    in the same pass as the trailing matrix.  ``check`` semantics match
+    ``block_qr`` ('defer' keeps the call async; 'sync' fetches the NaN
+    canary and retries through the robust reflector tier).
     """
     A = jnp.asarray(A)
     B = jnp.asarray(B)
     squeeze = B.ndim == 1
     if squeeze:
         B = B[:, None]
+    if check not in ("defer", "sync", "off"):
+        raise ValueError(f"check must be 'defer'|'sync'|'off', got {check!r}")
     m, n = A.shape
     panel_method, _, group_panels = resolve_panel_config(
         m, n, block_size, policy, panel_method, "unroll",
-        DEFAULT_GROUP_PANELS, mode="qtb",
+        DEFAULT_GROUP_PANELS, mode="qtb", quality=quality,
     )
     R_full, _, QtB = _jitted_driver(
         block_size, policy, False, True, panel_method, "unroll", _on_tpu(),
         group_panels,
     )(A, B.astype(policy.panel))
-    if panel_method in _NS_TIERS and not bool(
-        jnp.isfinite(R_full[0, 0])
+    if (
+        check == "sync"
+        and panel_method in _NS_TIERS
+        and not bool(jnp.isfinite(R_full[0, 0]))
     ):
-        # NaN-poisoned by _poison_if_unconverged: retry via direct Cholesky.
+        # NaN-poisoned: retry via the robust reflector tier (NOT cholqr1,
+        # whose Cholesky NaNs on the same hostile Grams — round-3 ADVICE).
         R_full, _, QtB = _jitted_driver(
-            block_size, policy, False, True, "cholqr1", "unroll", _on_tpu()
+            block_size, policy, False, True, "householder", "unroll",
+            _on_tpu(),
         )(A, B.astype(policy.panel))
     QtB = QtB.astype(policy.accum)
     if squeeze:
@@ -1405,6 +1505,8 @@ def qr(
     panel_method: str = "auto",
     loop_mode: str = "unroll",
     group_panels: int = DEFAULT_GROUP_PANELS,
+    quality: Optional[str] = None,
+    check: str = "defer",
 ):
     """Main entry: dispatches unblocked for narrow/wide problems, blocked
     otherwise.  Wide matrices (m < n) go through the unblocked path, matching
@@ -1416,7 +1518,14 @@ def qr(
     the bgs1 group-kernel headline config with zero flags); off-TPU and for
     fp64/hostile shapes it resolves to the robust 'householder' tier.  The
     reference's users get its flagship by calling one function
-    (``Cuda/main.cu:11-26``); so do ours."""
+    (``Cuda/main.cu:11-26``); so do ours.
+
+    ``quality`` exposes the measured speed/orthogonality ladder without
+    method strings — 2048^2 mixed: 'fast' ~300us / orth 7.5e-2 (default),
+    'balanced' ~721us / 5.7e-4, 'high' ~906us / 3.4e-5, 'robust' =
+    Householder-grade.  ``check='sync'`` opts into the blocking NaN-canary
+    fetch + transparent robust retry (see ``block_qr``); the default
+    'defer' never blocks the dispatch pipeline."""
     A = jnp.asarray(A)
     m, n = A.shape
     if n <= 8 or m < n:
@@ -1424,5 +1533,5 @@ def qr(
     return block_qr(
         A, block_size=block_size, policy=policy, mode=mode,
         panel_method=panel_method, loop_mode=loop_mode,
-        group_panels=group_panels,
+        group_panels=group_panels, quality=quality, check=check,
     )

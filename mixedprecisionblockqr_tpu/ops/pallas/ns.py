@@ -76,8 +76,42 @@ def _dot_bf16(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _split_bf16(a):
+    # Two-term bf16 Dekker split: a ~= hi + lo with |lo| <= ulp_bf16(a)/2,
+    # giving ~16 mantissa bits across the pair.
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b):
+    # Emulated Precision.HIGH (3-pass bf16 with fp32 accumulation): Mosaic
+    # rejects HIGH in-kernel, so build it from the split — a_hi b_hi +
+    # a_hi b_lo + a_lo b_hi (the lo*lo term is below fp32 roundoff).
+    # ~2x cheaper than HIGHEST's 6 passes; error class ~2^-16 per dot.
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    return (
+        jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+        + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+        + jnp.dot(al, bh, preferred_element_type=jnp.float32)
+    )
+
+
+def _dot3_ta(a, b):
+    # a^T @ b at emulated HIGH (see _dot3).
+    dn = (((0,), (0,)), ((), ()))
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    return (
+        jax.lax.dot_general(ah, bh, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(ah, bl, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(al, bh, dn, preferred_element_type=jnp.float32)
+    )
+
+
 def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
-            cheap_iters=0):
+            cheap_iters=0, mid_iters=0):
     """The triangular-NS chain on an SPD G (exact ``tri_inv_chol``
     semantics).  Returns (X, E) with E the last iteration's correction —
     one step BEHIND the final X (free), or, with ``final_exact``, the true
@@ -113,23 +147,51 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
     # ~1e-5 -> roundoff).  The convergence residual still reflects the
     # HIGHEST tail, and the drivers' poison canary guards the scheme on
     # hostile spectra.
+    # Precision tiers per iteration: 'cheap' = single-pass bf16 (2^-8 —
+    # NaN'd on chip in round-4, never default), 'mid' = emulated HIGH
+    # (3-pass bf16 Dekker split, ~2^-16 — the round-5 lever: half of
+    # HIGHEST's 6 MXU passes on the early, self-correcting iterations),
+    # else HIGHEST.  The mid path shares splits across the iteration's
+    # three dots (X feeds two of them; G's split hoists out of the loop).
+    if mid_iters > 0:
+        Gh, Gl = _split_bf16(G)
     E = eye
     for it in range(iters):
         cheap = it < cheap_iters
-        dot_ = _dot_bf16 if cheap else _dot
-        W = dot_(G, X)
-        M = (
-            jax.lax.dot_general(
+        mid = not cheap and it < mid_iters
+        if cheap:
+            W = _dot_bf16(G, X)
+            M = jax.lax.dot_general(
                 X.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if cheap
-            else _dot_ta(X, W)
-        )
-        E = eye - M
-        C = jnp.where(cols > rows, E, 0.0) + jnp.where(rows == cols, E, 0.0) * 0.5
-        X = X + dot_(X, C)
+            E = eye - M
+            C = (jnp.where(cols > rows, E, 0.0)
+                 + jnp.where(rows == cols, E, 0.0) * 0.5)
+            X = X + _dot_bf16(X, C)
+        elif mid:
+            dn = (((0,), (0,)), ((), ()))
+            bf = lambda a, b: jnp.dot(a, b,
+                                      preferred_element_type=jnp.float32)
+            bf_ta = lambda a, b: jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32)
+            Xh, Xl = _split_bf16(X)
+            W = bf(Gh, Xh) + bf(Gh, Xl) + bf(Gl, Xh)
+            Wh, Wl = _split_bf16(W)
+            M = bf_ta(Xh, Wh) + bf_ta(Xh, Wl) + bf_ta(Xl, Wh)
+            E = eye - M
+            C = (jnp.where(cols > rows, E, 0.0)
+                 + jnp.where(rows == cols, E, 0.0) * 0.5)
+            Ch, Cl = _split_bf16(C)
+            X = X + bf(Xh, Ch) + bf(Xh, Cl) + bf(Xl, Ch)
+        else:
+            W = _dot(G, X)
+            M = _dot_ta(X, W)
+            E = eye - M
+            C = (jnp.where(cols > rows, E, 0.0)
+                 + jnp.where(rows == cols, E, 0.0) * 0.5)
+            X = X + _dot(X, C)
     if final_exact:
         E = eye - _dot_ta(X, _dot(G, X))
     return X, E
@@ -342,7 +404,8 @@ def panel_qr_fused(
 
 
 def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
-                  chain_cheap=False):
+                  chain_cheap=False, chain_mid=False, mid_final=2,
+                  robust_iters=(14, 12, 4)):
     """One panel's factorization INSIDE a kernel: returns (Qk, t, resid).
 
     ``bf16_dots``: the tall (m x r) products (Gram, Q = P X) run as
@@ -373,17 +436,23 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
                        precision=_HI)
 
     G = tall_dot_ta(P, P)
+    # chain_mid: all but the final ``mid_final`` iterations of each
+    # non-refine chain run at emulated HIGH (3-pass bf16) — the
+    # refine/final iterations set the converged accuracy at HIGHEST, the
+    # early ones only steer.
+    mid = lambda it: max(0, it - mid_final) if chain_mid else 0
     if robust:
+        i1, i2, i3 = robust_iters
         Gs = G + (1e-3 * _norm2_est(G)) * eye
-        X1, _ = _tri_ns(Gs, 14, rows, cols, eye)
+        X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1))
         t1 = _dot_ta(X1, Gs)
         Q1 = tall_dot(P, X1)
         M1 = tall_dot_ta(Q1, Q1)
-        X2, _ = _tri_ns(M1, 12, rows, cols, eye)
+        X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2))
         t2 = _dot_ta(X2, M1)
         Q2 = tall_dot(Q1, X2)
         M2 = tall_dot_ta(Q2, Q2)
-        X3, E = _tri_ns(M2, 4, rows, cols, eye, refine=True,
+        X3, E = _tri_ns(M2, i3, rows, cols, eye, refine=True,
                         final_exact=True)
         t3 = _dot_ta(X3, M2)
         Qk = tall_dot(Q2, X3)
@@ -398,9 +467,10 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
         # (round-2 VERDICT weak item 5).
         return Qk, t, jnp.max(jnp.abs(E))
     # chain_cheap: all but the final 2 iterations in single-pass bf16
-    # (the robust branch above always stays full-HIGHEST).
+    # (kept as a negative-result control; it NaN-poisons on chip).
     X, E = _tri_ns(G, iters, rows, cols, eye,
-                   cheap_iters=max(0, iters - 2) if chain_cheap else 0)
+                   cheap_iters=max(0, iters - 2) if chain_cheap else 0,
+                   mid_iters=mid(iters))
     Qk = tall_dot(P, X)
     t = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
     return Qk, t, jnp.max(jnp.abs(E))
@@ -408,7 +478,8 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
 
 def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
                       g: int, iters: tuple, robust: tuple, bf16_dots: bool,
-                      bf16_gram: bool, chain_cheap: bool):
+                      bf16_gram: bool, chain_cheap: bool, chain_mid: bool,
+                      mid_final: int, robust_iters: tuple):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -441,7 +512,8 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
         P = q_ref[:, c0 : c0 + r]
         Qk, t, resid = _tri_ns_panel(
             P, iters[j], rows, cols, eye, robust[j], bf16_gram,
-            chain_cheap=chain_cheap,
+            chain_cheap=chain_cheap, chain_mid=chain_mid,
+            mid_final=mid_final, robust_iters=robust_iters,
         )
         # Robust tails carry a looser healthy range (final orthogonality
         # ~1e-3 at the edge of the fp32-Gram domain is correct behavior,
@@ -468,7 +540,8 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
 
 @functools.partial(
     jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
-                              "bf16_gram", "chain_cheap", "interpret")
+                              "bf16_gram", "chain_cheap", "chain_mid",
+                              "mid_final", "robust_iters", "interpret")
 )
 def bgs_group_fused(
     Pg: jax.Array,
@@ -478,6 +551,9 @@ def bgs_group_fused(
     bf16_dots: bool = True,
     bf16_gram: Optional[bool] = None,
     chain_cheap: bool = False,
+    chain_mid: bool = False,
+    mid_final: int = 2,
+    robust_iters: tuple = (14, 12, 4),
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One WHOLE BGS group — g sequential panel factorizations plus their
@@ -508,7 +584,8 @@ def bgs_group_fused(
     kernel = functools.partial(
         _bgs_group_kernel, m=m, r=r, g=g, iters=tuple(iters),
         robust=tuple(robust), bf16_dots=bf16_dots, bf16_gram=bf16_gram,
-        chain_cheap=chain_cheap,
+        chain_cheap=chain_cheap, chain_mid=chain_mid,
+        mid_final=mid_final, robust_iters=tuple(robust_iters),
     )
     Qg, Rg, resid = pl.pallas_call(
         kernel,

@@ -137,12 +137,20 @@ def pivoted_qr_qtb(A, B) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return R[:k, :], QtB, perm
 
 
-def numerical_rank(R: jax.Array, rcond: float | None = None) -> int:
+def numerical_rank(
+    R: jax.Array, rcond: float | None = None, m: int | None = None
+) -> int:
     """Numerical rank from a PIVOTED R's diagonal decay: the count of
     ``|R[i,i]| > rcond * |R[0,0]|`` (diagonal is non-increasing by the
     pivoting invariant).  Default rcond = eps_f32 * max(m, n) — the
-    ``np.linalg.lstsq``-style machine-precision cutoff."""
+    ``np.linalg.lstsq``-style machine-precision cutoff.  ``R`` is usually
+    the trimmed (k, n) factor, which no longer carries the original row
+    count: callers that know it pass ``m`` so the default cutoff evaluates
+    eps * max(m, n) for tall systems, not eps * n (round-3 ADVICE item 3).
+    """
     d = jnp.abs(jnp.diag(jnp.asarray(R)))
     if rcond is None:
-        rcond = float(jnp.finfo(jnp.float32).eps) * max(R.shape)
+        rcond = float(jnp.finfo(jnp.float32).eps) * max(
+            R.shape[1], m if m is not None else 0, R.shape[0]
+        )
     return int(jnp.sum(d > rcond * (d[0] + jnp.finfo(jnp.float32).tiny)))

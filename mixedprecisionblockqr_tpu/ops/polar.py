@@ -65,11 +65,21 @@ def tri_iters_for_aspect(aspect: float) -> int:
     Measured (experiments/tri_ns_check.py): residual < 1e-6 in 5 iters at
     aspect 16 (cond(G) ~ 3), 6 at aspect 4-8, 8 at aspect 2.  One spare
     iteration on top; in-context every iteration costs ~3 small-op slots
-    (~2us at r=128), so tall panels should not pay the worst case."""
-    if aspect >= 8:
+    (~2us at r=128), so tall panels should not pay the worst case.
+
+    Round-5 recalibration: aspect-8 PANELS of a blocked driver see the
+    trailing corner's conditioning, not a fresh random panel's — at
+    1024^2/r=128 (aspect 8) the 6-iteration chain under-converged and
+    NaN-poisoned on centered-uniform data (canary working as designed;
+    masked until round 5 by the public drivers' silent retry).  One step
+    down the ladder per halved aspect fixes it with +3 small dots/panel
+    on the affected sizes only; the 2048^2 headline (aspect 16) keeps 6."""
+    if aspect >= 16:
         return 6
-    if aspect >= 4:
+    if aspect >= 8:
         return 7
+    if aspect >= 4:
+        return 8
     return 9
 
 

@@ -227,6 +227,16 @@ def _dist_bgs_local(
     assert n % r == 0
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
+    # Reorth tier ('bgs'): ALL projections run fp32 HIGHEST — the round-4
+    # single-chip isolation showed ANY bf16 single-pass projection in the
+    # chain pins the orthogonality floor at ~0.1 regardless of the scrub
+    # (round-3 ADVICE item 2).  'bgs1' keeps trailing-precision projections
+    # (max throughput).
+    mm_p = (
+        (lambda a, b: jnp.matmul(
+            a.astype(jnp.float32), b.astype(jnp.float32), precision=_HI))
+        if reorth else mm_t
+    )
 
     def psum_gram(Xl, Yl):
         # fp32 HIGHEST Gram (the NS chain needs a true-fp32 Gram; the tall
@@ -303,11 +313,20 @@ def _dist_bgs_local(
         js = list(range(i, min(i + group_panels, nb)))
         g_end = (js[-1] + 1) * r
         if reorth and lam_g > 0:
+            # BCGS2 scrub at fp32 HIGHEST regardless of policy.trailing —
+            # the scrub must run ABOVE the noise it scrubs (any bf16
+            # single-pass projection pins the orth floor at ~0.1; the
+            # single-chip round-4 isolation, mirrored here per round-3
+            # ADVICE item 2).  Qbuf is already fp32.
             Cg = A_loc[:, lam_g:g_end].astype(jnp.float32)
             Qprev = Qbuf[:, :lam_g]
-            C2 = jax.lax.psum(mm_t(Qprev.T, Cg), axis)
+            C2 = jax.lax.psum(
+                jnp.matmul(Qprev.T, Cg, precision=_HI), axis
+            )
             A_loc = A_loc.at[:, lam_g:g_end].set(
-                (Cg - mm_t(Qprev, C2)).astype(A_loc.dtype)
+                (Cg - jnp.matmul(Qprev, C2, precision=_HI)).astype(
+                    A_loc.dtype
+                )
             )
             R = R.at[:lam_g, lam_g:g_end].add(C2)
         for j in js:
@@ -326,9 +345,9 @@ def _dist_bgs_local(
             Qbuf = Qbuf.at[:, lam : lam + r].set(Qk)
             if lam + r < g_end:
                 C = A_loc[:, lam + r : g_end]
-                G1 = jax.lax.psum(mm_t(Qk.T, C), axis)
+                G1 = jax.lax.psum(mm_p(Qk.T, C), axis)
                 A_loc = A_loc.at[:, lam + r : g_end].set(
-                    (C - mm_t(Qk, G1)).astype(A_loc.dtype)
+                    (C - mm_p(Qk, G1)).astype(A_loc.dtype)
                 )
                 R = R.at[lam : lam + r, lam + r : g_end].set(G1)
             if B_loc is not None:
@@ -338,8 +357,8 @@ def _dist_bgs_local(
         if g_end < n:
             Qg = Qbuf[:, lam_g:g_end]
             C = A_loc[:, g_end:]
-            G1 = jax.lax.psum(mm_t(Qg.T, C), axis)
-            A_loc = A_loc.at[:, g_end:].set((C - mm_t(Qg, G1)).astype(A_loc.dtype))
+            G1 = jax.lax.psum(mm_p(Qg.T, C), axis)
+            A_loc = A_loc.at[:, g_end:].set((C - mm_p(Qg, G1)).astype(A_loc.dtype))
             R = R.at[lam_g:g_end, g_end:].set(G1)
         i = js[-1] + 1
 
@@ -361,23 +380,36 @@ def _dist_bgs_scan_local(
     policy: DTypePolicy,
     reorth: bool = True,
     on_tpu: bool = False,
+    group_panels: int = 1,
 ):
     """Scan-mode distributed Block Gram-Schmidt: ONE compiled panel step
     (the ``_block_qr_bgs_scan`` structure inside shard_map).
 
     The unrolled dist-BGS driver compiles n/r distinct panel programs; at
-    16384^2 that is 128 — unusable.  Here every panel shares one
+    16384^2 that is 128 — unusable.  Here every group of panels shares one
     ``fori_loop`` step:
 
       * classical-GS projection against the whole (zero-initialized) Q
-        buffer — unwritten columns contribute zero coefficients, so one
-        full-width psum'd GEMM pair serves every step (BCGS2 = twice);
-      * every panel factors through the shifted three-pass scheme on
-        psum'd Grams (one step must serve the well-conditioned head and
-        the cond ~1e8 trailing corner alike) — 3 (r x r) collectives;
+        buffer — unwritten columns contribute zero coefficients, so ONE
+        full-width psum'd GEMM pair per GROUP serves every step (BCGS2 =
+        twice); ``group_panels > 1`` divides the dominant Qbuf traffic and
+        the full-width collective count by the group factor (the round-4
+        16k budget blowout was exactly this per-panel traffic — round-3
+        VERDICT item 2), with eager in-group projections on static column
+        slices, mirroring the single-chip grouped scan;
+      * panels before the robust tail (last ``max(2, nb//8)``) factor
+        through the plain triangular-NS chain — 1 (r x r) collective —
+        selected by a replicated ``lax.cond``; tail panels run the shifted
+        three-pass scheme (3 collectives), which must serve the cond ~1e8
+        trailing corner;
       * Q materializes by ``dynamic_update_slice`` into the row-sharded
         buffer: ZERO Q-update GEMMs, which is why this runs ~2.6x fewer
         FLOPs than the Yamamoto scan (no m x m Q accumulation).
+
+    Grouping reorders the same single-pass CGS math, so it serves the
+    'bgs1' tier; the 'bgs' reorth tier needs its BCGS2 second pass against
+    freshly-written in-group panels too and stays per-panel (g = 1), same
+    contract as the single-chip scan driver.
 
     Returns (Qbuf_loc (h, n), R (n, n) replicated, QtB, worst_resid-
     poisoned outputs).
@@ -435,6 +467,27 @@ def _dist_bgs_scan_local(
         ))
         return Qk, t, 0.01 * resid
 
+    def plain_panel(P_loc):
+        # Well-conditioned head panels: ONE Gram collective + the plain
+        # NS chain (vs the robust scheme's 3) — one program serves every
+        # pre-tail step, so the chain is sized for the squarest of them
+        # (base + bump, matching the unrolled driver's late-panel rule).
+        from mixedprecisionblockqr_tpu.ops.polar import tri_iters_for_aspect
+
+        iters = tri_iters_for_aspect(m / r) + 4
+        G = psum_gram(P_loc, P_loc)
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+            X, t, resid = ns_chain(G, iters=iters)
+        else:
+            from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
+
+            X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+            t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
+        Qk = jnp.matmul(P_loc, X, precision=_HI)
+        return Qk, t, resid
+
     q_dtype = policy.q_store or policy.accum
     A_loc = A_loc.astype(policy.panel)
     Qbuf = jnp.zeros((h, n), q_dtype)
@@ -443,33 +496,66 @@ def _dist_bgs_scan_local(
     QtB = jnp.zeros((n, kB), jnp.float32)
     Bc = B_loc if B_loc is not None else jnp.zeros((h, 1), jnp.float32)
 
+    # Grouping serves the single-pass tier only (see docstring); the
+    # reorth tier's BCGS2 second pass needs per-panel Qbuf projections.
+    g = (
+        group_panels
+        if group_panels > 1 and nb % group_panels == 0 and not reorth
+        else 1
+    )
+    gw = g * r
+    n_robust = max(2, nb // 8)
+
     def step(k, carry):
         Qbuf, R, QtB, wr = carry
-        lam = k * r
-        P = jax.lax.dynamic_slice(A_loc, (0, lam), (h, r)).astype(
+        lam_g = k * gw
+        Cg = jax.lax.dynamic_slice(A_loc, (0, lam_g), (h, gw)).astype(
             jnp.float32
         )
-        C = jax.lax.psum(mm_t(Qbuf.T, P), axis)
-        P = P - mm_t(Qbuf, C)
+        # ONE full-width psum'd projection pass over Qbuf per GROUP.
+        C = jax.lax.psum(mm_t(Qbuf.T, Cg), axis)
+        Cg = Cg - mm_t(Qbuf, C)
         if reorth:
-            C2 = jax.lax.psum(mm_t(Qbuf.T, P), axis)
-            P = P - mm_t(Qbuf, C2)
+            C2 = jax.lax.psum(mm_t(Qbuf.T, Cg), axis)
+            Cg = Cg - mm_t(Qbuf, C2)
             C = C + C2
-        Qk, t, resid = robust_panel(P)
-        wr = jnp.maximum(wr, resid)
-        Qbuf = jax.lax.dynamic_update_slice(
-            Qbuf, Qk.astype(q_dtype), (0, lam)
-        )
-        Rcol = jax.lax.dynamic_update_slice(C[:n, :], t, (lam, 0))
-        R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam))
-        if B_loc is not None:
-            QtB = jax.lax.dynamic_update_slice(
-                QtB, jax.lax.psum(mm_t(Qk.T, Bc), axis), (lam, 0)
+        Rcol = C[:n, :]
+        for j in range(g):  # static unroll inside the one compiled step
+            P = Cg[:, j * r : (j + 1) * r]
+            # Replicated predicate (k is the loop index) -> every device
+            # takes the same branch; the robust scheme's extra collectives
+            # are only paid on tail panels.
+            is_tail = (k * g + j) >= (nb - n_robust)
+            Qk, t, resid = jax.lax.cond(
+                is_tail, robust_panel, plain_panel, P
             )
+            wr = jnp.maximum(wr, resid)
+            row = jnp.asarray(lam_g + j * r)
+            jr = jnp.full((), j * r, dtype=row.dtype)
+            zero = jnp.zeros((), row.dtype)
+            Qbuf = jax.lax.dynamic_update_slice(
+                Qbuf, Qk.astype(q_dtype), (zero, row)
+            )
+            if j + 1 < g:
+                # Eager in-group projection (static column slices, one
+                # psum of the (r x remaining) coefficient block).
+                Ct = Cg[:, (j + 1) * r :]
+                G1 = jax.lax.psum(mm_t(Qk.T, Ct), axis)
+                Cg = Cg.at[:, (j + 1) * r :].set(Ct - mm_t(Qk, G1))
+                Rcol = jax.lax.dynamic_update_slice(
+                    Rcol, jnp.concatenate([t, G1], axis=1), (row, jr)
+                )
+            else:
+                Rcol = jax.lax.dynamic_update_slice(Rcol, t, (row, jr))
+            if B_loc is not None:
+                QtB = jax.lax.dynamic_update_slice(
+                    QtB, jax.lax.psum(mm_t(Qk.T, Bc), axis), (row, zero)
+                )
+        R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam_g))
         return Qbuf, R, QtB, wr
 
     Qbuf, R, QtB, worst = jax.lax.fori_loop(
-        0, nb, step, (Qbuf, R, QtB, jnp.float32(0.0))
+        0, nb // g, step, (Qbuf, R, QtB, jnp.float32(0.0))
     )
     R = jnp.triu(R)
     from mixedprecisionblockqr_tpu.ops.blockqr import _poison_if_unconverged
@@ -709,7 +795,7 @@ def _jitted_dist_bgs(
             Qbuf, R, QtB = _dist_bgs_scan_local(
                 A, B if with_b else None, m=m, n=n,
                 block_size=block_size, axis=axis, policy=policy,
-                reorth=reorth, on_tpu=on_tpu,
+                reorth=reorth, on_tpu=on_tpu, group_panels=group_panels,
             )
         else:
             Qbuf, R, QtB = _dist_bgs_local(
@@ -758,6 +844,7 @@ def dist_block_qr(
     b=None,
     panel_method: str = "householder",
     loop_mode: str = "unroll",
+    group_panels: int = 4,
 ):
     """Distributed blocked QR of a row-sharded A over ``mesh[axis]``.
 
@@ -765,6 +852,9 @@ def dist_block_qr(
     R replicated (n x n) — or (R, Q^T b) when ``b`` is given and mode='r'.
 
     mode: 'reduced' | 'complete' | 'r' (R only, no Q accumulation).
+    ``group_panels``: BGS projection-aggregation factor — in scan mode each
+    fori step factors a whole group with ONE full-width Qbuf collective
+    pass (single-pass 'bgs1' tier only; 'bgs' reorth stays per-panel).
     """
     A = jnp.asarray(A, dtype=policy.panel)
     m, n = A.shape
@@ -801,8 +891,8 @@ def dist_block_qr(
 
         fn = _jitted_dist_bgs(
             m, n, d, min(block_size, n), policy, b is not None, axis,
-            _mesh_key(mesh), panel_method == "bgs", 4, _on_tpu(),
-            loop_mode,
+            _mesh_key(mesh), panel_method == "bgs", group_panels,
+            _on_tpu(), loop_mode,
         )
         Qbuf, R, QtB = fn(A_sh, B)
         if not bool(jnp.isfinite(R[0, 0])):

@@ -230,8 +230,10 @@ def test_block_qr_bgs_scan_matches_unrolled_quality():
     a = _rand(384, 384, seed=23)
     reps = {}
     for lm in ("scan", "unroll"):
+        # check='sync': positive-uniform input is the documented correlated
+        # stressor — the canary may fire and take the robust retry.
         Q, R = block_qr(jnp.asarray(a), 128, POLICY_FP32, mode="complete",
-                        panel_method="bgs", loop_mode=lm)
+                        panel_method="bgs", loop_mode=lm, check="sync")
         reps[lm] = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
                                     precision_bits=23)
         assert reps[lm].all_ok, f"{lm}: {reps[lm]}"
@@ -263,7 +265,7 @@ def test_bgs_positive_uniform_recovers():
     either way (in-kernel convergence or the NaN-canary retry path)."""
     a = np.random.default_rng(0).random((512, 512)).astype(np.float32)
     Q, R = block_qr(jnp.asarray(a), 128, POLICY_MIXED, mode="complete",
-                    panel_method="bgs1")
+                    panel_method="bgs1", check="sync")
     rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R), precision_bits=8)
     assert rep.all_ok and np.isfinite(np.asarray(R)).all(), str(rep)
 
@@ -337,3 +339,94 @@ def test_qr_auto_default_end_to_end():
         a, np.asarray(Q), np.asarray(R), precision_bits=23
     )
     assert rep.all_ok, str(rep)
+
+
+def test_quality_ladder_mapping():
+    """quality= maps to the documented BGS ladder rungs under auto dispatch
+    (round-3 VERDICT item 5) — without knowing internal method strings."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import resolve_panel_config
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+
+    def auto(m, n, policy, quality, on_tpu=True):
+        return resolve_panel_config(
+            m, n, 128, policy, "auto", "unroll", 4, mode="complete",
+            on_tpu=on_tpu, quality=quality,
+        )
+
+    assert auto(2048, 2048, POLICY_MIXED, "fast") == ("bgs1", "unroll", 8)
+    assert auto(2048, 2048, POLICY_MIXED, "balanced") == ("bgs2", "unroll", 8)
+    assert auto(2048, 2048, POLICY_MIXED, "high") == ("bgs", "unroll", 8)
+    assert auto(2048, 2048, POLICY_MIXED, "robust")[0] == "householder"
+    assert auto(8192, 8192, POLICY_MIXED, "balanced") == ("bgs2", "unroll", 4)
+    assert auto(16384, 16384, POLICY_MIXED, "high") == ("bgs", "scan", 4)
+    # fp32 default = the 'high' rung; quality trades down explicitly.
+    assert auto(2048, 2048, POLICY_FP32, None)[0] == "bgs"
+    assert auto(2048, 2048, POLICY_FP32, "fast")[0] == "bgs1"
+    # Off-TPU every rung stays on the robust oracle tier.
+    assert auto(2048, 2048, POLICY_MIXED, "high", on_tpu=False)[0] == (
+        "householder"
+    )
+    # quality= is an auto-dispatch knob: explicit panel_method conflicts.
+    import pytest
+
+    with pytest.raises(ValueError, match="quality"):
+        resolve_panel_config(
+            2048, 2048, 128, POLICY_MIXED, "bgs1", "unroll", 4,
+            on_tpu=True, quality="fast",
+        )
+    with pytest.raises(ValueError, match="quality"):
+        resolve_panel_config(
+            2048, 2048, 128, POLICY_MIXED, "auto", "unroll", 4,
+            on_tpu=True, quality="ultra",
+        )
+
+
+def test_quality_ladder_end_to_end():
+    """Each ladder rung produces a criteria-passing factorization through
+    the public qr() (CPU resolves to householder; the mapping itself is
+    asserted in test_quality_ladder_mapping, the on-chip quality numbers
+    in tests_tpu/)."""
+    a = _rand(256, 256, seed=7)
+    for quality in ("fast", "balanced", "high", "robust"):
+        Q, R = qr(a, block_size=64, policy=POLICY_FP32, quality=quality)
+        rep = metrics.evaluate(
+            a, np.asarray(Q), np.asarray(R), precision_bits=23
+        )
+        assert rep.all_ok, f"{quality}: {rep}"
+
+
+def test_check_defer_propagates_nan_poison():
+    """check='defer' (the default) must NOT host-sync or retry: a poisoned
+    factorization surfaces as NaN in the outputs, and check='sync' on the
+    same input transparently recovers through the robust tier."""
+    # Rank-deficient correlated columns: hostile to fixed-budget NS chains.
+    rng = np.random.default_rng(3)
+    base = rng.random((512, 4)).astype(np.float32)
+    a = np.repeat(base, 128, axis=1) + 1e-6 * rng.standard_normal(
+        (512, 512)
+    ).astype(np.float32)
+    Qd, Rd = block_qr(jnp.asarray(a), 128, POLICY_MIXED, mode="complete",
+                      panel_method="bgs1", check="defer")
+    assert not np.isfinite(np.asarray(Rd)[0, 0]), (
+        "expected the NaN canary to fire on rank-deficient input"
+    )
+    Qs, Rs = block_qr(jnp.asarray(a), 128, POLICY_MIXED, mode="complete",
+                      panel_method="bgs1", check="sync")
+    assert np.isfinite(np.asarray(Rs)).all()
+    rep = metrics.evaluate(a, np.asarray(Qs), np.asarray(Rs),
+                           precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
+def test_group_kernel_vmem_gating():
+    """The group kernel's VMEM boundary (round-3 VERDICT weak item 3):
+    headline shapes fit, the measured-OOM shapes do not, and the quota is
+    evaluated against the EFFECTIVE (post-shrink) group width."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _group_kernel_fits
+
+    assert _group_kernel_fits(2048, 128, 8)      # the headline config
+    assert _group_kernel_fits(3072, 128, 4)
+    assert not _group_kernel_fits(4096, 128, 8)  # 19.12M measured OOM class
+    assert not _group_kernel_fits(3072, 128, 8)  # 12M buffer > 10M quota
+    assert not _group_kernel_fits(8192, 128, 4)  # m-cap (robust-tail VMEM)
+    assert _group_kernel_fits(4096, 128, 4)      # quota ok under the cap

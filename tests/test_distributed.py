@@ -434,3 +434,44 @@ def test_dist_bgs_scan_qtb(mesh):
     x = np.asarray(back_substitution(np.asarray(R)[:64, :],
                                      np.asarray(qtb)[:64, 0]))
     np.testing.assert_allclose(x, xtrue, atol=5e-3)
+
+
+def test_dist_bgs_scan_grouped(mesh):
+    """Grouped scan-mode dist BGS (round-3 VERDICT item 2): each fori step
+    factors group_panels panels with ONE full-width Qbuf collective pass +
+    eager in-group projections, and pre-tail panels take the plain-chain
+    lax.cond branch (1 Gram collective) instead of the robust 3."""
+    A = np.random.default_rng(14).random((256, 128)).astype(np.float32) - 0.5
+    d_ref = np.abs(np.diag(np.linalg.qr(A.astype(np.float64), mode="r")))
+    for g in (2, 4):
+        Q, R = dist_block_qr(A, mesh, block_size=16, mode="reduced",
+                             panel_method="bgs1", loop_mode="scan",
+                             group_panels=g)
+        assert Q.shape == (256, 128) and R.shape == (128, 128)
+        rep = metrics.evaluate(A, Q, np.asarray(R), precision_bits=23)
+        assert rep.backward < 1e-5, (g, str(rep))
+        orth = float(metrics.orthogonality_error(Q))
+        assert orth < 1e-3, (g, orth)  # single-pass tier bound
+        np.testing.assert_allclose(
+            np.abs(np.diag(np.asarray(R))), d_ref, rtol=1e-3
+        )
+    # g that does not divide nb falls back to per-panel (still correct).
+    Q3, R3 = dist_block_qr(A, mesh, block_size=16, mode="reduced",
+                           panel_method="bgs1", loop_mode="scan",
+                           group_panels=3)
+    rep3 = metrics.evaluate(A, Q3, np.asarray(R3), precision_bits=23)
+    assert rep3.backward < 1e-5, str(rep3)
+
+
+def test_dist_bgs_reorth_mixed_policy_orth(mesh):
+    """The dist 'bgs' reorth tier under a MIXED policy must deliver the
+    ladder's orthogonality class — the scrub and all projections run fp32
+    HIGHEST regardless of policy.trailing (round-3 ADVICE item 2; before
+    the fix the bf16 single-pass scrub pinned orth at ~0.1)."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+
+    A = np.random.default_rng(15).random((256, 128)).astype(np.float32) - 0.5
+    Q, R = dist_block_qr(A, mesh, block_size=32, mode="reduced",
+                         panel_method="bgs", policy=POLICY_MIXED)
+    orth = float(metrics.orthogonality_error(np.asarray(Q, np.float32)))
+    assert orth < 1e-4, orth

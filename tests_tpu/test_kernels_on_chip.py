@@ -149,3 +149,100 @@ def test_panel_factor_fused_on_chip():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(V), np.asarray(Vr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_chain_mid_parity_on_chip():
+    """Round-5 lever: emulated-HIGH (3-pass bf16 split) early NS iterations
+    must match the full-HIGHEST chain's converged quality ON CHIP (the
+    split lowering is exactly the class interpret mode cannot check)."""
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import bgs_group_fused
+
+    rng = np.random.default_rng(9)
+    Pg = jnp.asarray(rng.standard_normal((1024, 512)).astype(np.float32))
+    Qh, Rh, resid_h = bgs_group_fused(
+        Pg, 128, iters=(6,) * 4, robust=(False,) * 4, bf16_dots=False
+    )
+    Qm, Rm, resid_m = bgs_group_fused(
+        Pg, 128, iters=(6,) * 4, robust=(False,) * 4, bf16_dots=False,
+        chain_mid=True,
+    )
+    orth_m = float(jnp.max(jnp.abs(
+        jnp.matmul(Qm.T, Qm, precision=_HI) - jnp.eye(512))))
+    orth_h = float(jnp.max(jnp.abs(
+        jnp.matmul(Qh.T, Qh, precision=_HI) - jnp.eye(512))))
+    assert orth_m < max(2 * orth_h, 1e-4), (orth_m, orth_h)
+    assert float(resid_m) < 1e-4, float(resid_m)
+
+
+def test_chain_cheap_trips_canary_on_chip():
+    """The SEEDED Mosaic-precision regression (round-3 VERDICT item 4):
+    single-pass-bf16 NS chains (chain_cheap) pass interpret mode but
+    diverge on compiled Mosaic — the NaN canary must fire on chip.  If
+    this ever starts converging, the 'never default chain_cheap' rule in
+    CLAUDE.md needs re-evaluation."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    a = np.random.default_rng(0).random((2048, 2048), dtype=np.float32) - 0.5
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 128, POLICY_MIXED_FAST, True, None, group_panels=8,
+            on_tpu=True, reorth=False, robust_tail=1, chain_cheap=True,
+        )
+    )(jnp.asarray(a))
+    assert not bool(jnp.isfinite(R[0, 0])), (
+        "chain_cheap converged on chip — the round-4 negative result no "
+        "longer holds; re-calibrate"
+    )
+
+
+def test_auto_path_1024_no_poison_on_chip():
+    """Regression for the round-5 tri_iters_for_aspect recalibration: the
+    public auto path at 1024^2 mixed (aspect-8 panels) must NOT poison
+    with check='defer' (it silently retried for two rounds)."""
+    import mixedprecisionblockqr_tpu as mpq
+
+    a = np.random.default_rng(2).random((1024, 1024), dtype=np.float32) - 0.5
+    Q, R = mpq.qr(a, policy=mpq.POLICY_MIXED, mode="complete",
+                  quality="fast", check="defer")
+    rep = mpq.metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                               precision_bits=8)
+    assert np.isfinite(np.asarray(R)[0, 0]) and rep.all_ok, str(rep)
+
+
+def test_grouped_scan_bgs_on_chip():
+    """Grouped scan-BGS (one Qbuf pass per group) — the 16384^2 tier's
+    structure at a compile-friendly size, on compiled Mosaic."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs_scan
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+    from mixedprecisionblockqr_tpu.ops import metrics as M
+
+    a = np.random.default_rng(3).random((1024, 1024), dtype=np.float32) - 0.5
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs_scan(
+            x, 128, POLICY_MIXED_FAST, True, None, on_tpu=True,
+            reorth=False, group_panels=4,
+        )
+    )(jnp.asarray(a))
+    rep = M.evaluate(a, np.asarray(Q, np.float32), np.asarray(R, np.float32),
+                     precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
+def test_dist_bgs_shardmap_d1_on_chip():
+    """The distributed BGS tier's shard_map program on the real chip at
+    d=1 — collectives lower to on-device no-ops but the whole program
+    (psum'd Grams, lax.cond robust/plain split, grouped Qbuf pass) runs
+    compiled, which the CPU-mesh suite never exercises."""
+    from mixedprecisionblockqr_tpu.ops import metrics as M
+    from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
+    from mixedprecisionblockqr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((1,), ("rows",))
+    a = np.random.default_rng(4).random((512, 512)).astype(np.float32) - 0.5
+    Q, R = dist_block_qr(a, mesh, block_size=128, mode="reduced",
+                         panel_method="bgs1", loop_mode="scan",
+                         group_panels=2)
+    rep = M.evaluate(a, np.asarray(Q, np.float32), np.asarray(R, np.float32),
+                     precision_bits=23)
+    assert rep.backward < 1e-5, str(rep)
