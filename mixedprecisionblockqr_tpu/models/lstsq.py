@@ -205,7 +205,10 @@ def lstsq(
         ``rcond * max|diag|`` (default eps_f32 * max(m, n)) the plain-QR
         solve is ill-posed (1/R_ii blows up): the solver transparently
         re-routes through the column-pivoted path and returns the MIN-NORM
-        solution.  Pass ``rcond=0`` to disable the check.
+        solution.  Pass ``rcond=0`` to disable the check.  The reroute's
+        price (measured on one v5e chip, BENCH_NOTES round-5): pivoted_qr
+        3.1 / 7.6 / 32.9 ms at n = 512 / 1024 / 2048 — ~30-130x the
+        blocked fast tier, paid only on rank-deficient inputs.
     """
     A = jnp.asarray(A, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)

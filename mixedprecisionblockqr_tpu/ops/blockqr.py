@@ -167,10 +167,13 @@ def resolve_panel_config(
             else:
                 group_panels = 4
         else:
+            # Round-5: bgs1 g4 took the 3072-5120 band from cholqr1 —
+            # 4096^2 face-off (experiments/r5_band4096_pivoted.jsonl):
+            # 1.82-1.83 ms / 125 TF vs 2.33 ms / 98 TF, backward 2.3e-3
+            # vs 8.8e-3 (cholqr1 keeps the tighter orth, 9.2e-3 vs 7e-2 —
+            # reachable via panel_method='cholqr1' or quality='balanced').
             if max(m, n) <= 3072:
                 panel_method, group_panels = "bgs1", 8
-            elif max(m, n) <= 5120:
-                panel_method = "cholqr1"
             elif max(m, n) <= 12288:
                 panel_method, group_panels = "bgs1", 4
             else:

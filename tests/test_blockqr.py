@@ -314,7 +314,9 @@ def test_resolve_auto_dispatch_table():
 
     # The measured per-size winners (BENCH_NOTES round-3 perf map).
     assert auto(2048, 2048, POLICY_MIXED) == ("bgs1", "unroll", 8)
-    assert auto(4096, 4096, POLICY_MIXED) == ("cholqr1", "unroll", 4)
+    # Round-5: bgs1 g4 took the 3072-5120 band from cholqr1 (4096^2
+    # face-off: 125 vs 98 TF — experiments/r5_band4096_pivoted.jsonl).
+    assert auto(4096, 4096, POLICY_MIXED) == ("bgs1", "unroll", 4)
     assert auto(8192, 8192, POLICY_MIXED_FAST) == ("bgs1", "unroll", 4)
     assert auto(16384, 16384, POLICY_MIXED_FAST) == ("bgs1", "scan", 4)
     # fp32 -> the reorthogonalized BGS tier (fp32-roundoff quality).
