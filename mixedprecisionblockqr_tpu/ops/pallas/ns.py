@@ -198,7 +198,7 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
 
 
 def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
-               shift: float, refine: bool):
+               shift: float, refine: bool, chain_mid: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -209,9 +209,12 @@ def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
         # pass 1).
         G = G + (shift * _norm2_est(G)) * eye
     # refine chains close the robust compositions and their E feeds the
-    # poison canary -> report the exact post-loop residual there.
+    # poison canary -> report the exact post-loop residual there; they
+    # never run chain_mid (their output error IS the converged accuracy).
     X, E = _tri_ns(G, iters, rows, cols, eye, refine=refine,
-                   final_exact=refine)
+                   final_exact=refine,
+                   mid_iters=max(0, iters - 2)
+                   if chain_mid and not refine else 0)
     x_ref[:] = X
     # X^{-1} = X^T G at convergence — R recovered with no solve.
     t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
@@ -219,13 +222,15 @@ def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "shift", "refine", "interpret")
+    jax.jit, static_argnames=("iters", "shift", "refine", "chain_mid",
+                              "interpret")
 )
 def ns_chain(
     G: jax.Array,
     iters: int = 10,
     shift: float = 0.0,
     refine: bool = False,
+    chain_mid: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused triangular-NS inverse Cholesky of an SPD Gram ``G`` (r x r).
@@ -240,7 +245,8 @@ def ns_chain(
     """
     r = G.shape[0]
     kernel = functools.partial(
-        _ns_kernel, r=r, iters=iters, shift=shift, refine=refine
+        _ns_kernel, r=r, iters=iters, shift=shift, refine=refine,
+        chain_mid=chain_mid,
     )
     X, t, resid = pl.pallas_call(
         kernel,
@@ -308,7 +314,8 @@ def ninv_chain(
 
 
 def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
-                     iters: int, gram_hi: bool, robust: bool):
+                     iters: int, gram_hi: bool, robust: bool,
+                     chain_mid: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -327,6 +334,7 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
 
     P = p_ref[:]
     G = gram(P)
+    mid = (lambda it: max(0, it - 2)) if chain_mid else (lambda it: 0)
     if robust:
         # Shifted three-pass scheme entirely in VMEM (ops/polar.py::
         # tri_cholqr_robust): pass 1 on the shifted Gram (condition capped
@@ -334,12 +342,12 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
         # convergence so reconstruction is preserved), passes 2-3 on the
         # fresh Grams of the explicit products, absorbing the shift bias.
         Gs = G + (1e-3 * _norm2_est(G)) * eye
-        X1, _ = _tri_ns(Gs, 14, rows, cols, eye)
+        X1, _ = _tri_ns(Gs, 14, rows, cols, eye, mid_iters=mid(14))
         t1 = _dot_ta(X1, Gs)
         Q1 = jnp.dot(P, X1, preferred_element_type=jnp.float32,
                      precision=_HI)
         M1 = gram(Q1)
-        X2, _ = _tri_ns(M1, 12, rows, cols, eye)
+        X2, _ = _tri_ns(M1, 12, rows, cols, eye, mid_iters=mid(12))
         t2 = _dot_ta(X2, M1)
         Q2 = jnp.dot(Q1, X2, preferred_element_type=jnp.float32,
                      precision=_HI)
@@ -352,7 +360,7 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
         t_ref[:] = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
         resid_ref[0, 0] = jnp.max(jnp.abs(E))
     else:
-        X, E = _tri_ns(G, iters, rows, cols, eye)
+        X, E = _tri_ns(G, iters, rows, cols, eye, mid_iters=mid(iters))
         q_ref[:] = jnp.dot(P, X, preferred_element_type=jnp.float32,
                            precision=gprec)
         t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
@@ -360,13 +368,15 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "gram_hi", "robust", "interpret")
+    jax.jit, static_argnames=("iters", "gram_hi", "robust", "chain_mid",
+                              "interpret")
 )
 def panel_qr_fused(
     P: jax.Array,
     iters: int = 10,
     gram_hi: bool = True,
     robust: bool = False,
+    chain_mid: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The ENTIRE panel factorization as one kernel: Gram, NS chain(s),
@@ -383,7 +393,7 @@ def panel_qr_fused(
     m, r = P.shape
     kernel = functools.partial(
         _panel_qr_kernel, m=m, r=r, iters=iters, gram_hi=gram_hi,
-        robust=robust,
+        robust=robust, chain_mid=chain_mid,
     )
     Q, t, resid = pl.pallas_call(
         kernel,
@@ -633,6 +643,7 @@ def tri_cholqr_fused(
 def tri_cholqr_robust_fused(
     P: jax.Array,
     sign_fix: bool = False,
+    chain_mid: bool = False,
     interpret: bool = False,
 ):
     """Fused counterpart of ``tri_cholqr_robust`` (shifted three-pass) for
@@ -646,14 +657,15 @@ def tri_cholqr_robust_fused(
     whole three-pass composition converged (see ``_tri_ns_panel``)."""
     X1, t1, _ = ns_chain(
         jnp.matmul(P.T, P, precision=_HI), iters=14, shift=1e-3,
-        interpret=interpret,
+        chain_mid=chain_mid, interpret=interpret,
     )
     Q1 = jnp.matmul(P, X1, precision=_HI)
     # cond(Q1) <= ~45 by the shift cap; 12 iterations converge, and the
     # refine chain runs on the FRESH Gram of the explicit product (captures
     # committed fp32 rounding — the algebraic form plateaus at ~1e-4).
     M1 = jnp.matmul(Q1.T, Q1, precision=_HI)
-    X2, t2, _ = ns_chain(M1, iters=12, interpret=interpret)
+    X2, t2, _ = ns_chain(M1, iters=12, chain_mid=chain_mid,
+                         interpret=interpret)
     Q1f = jnp.matmul(Q1, X2, precision=_HI)
     M2 = jnp.matmul(Q1f.T, Q1f, precision=_HI)
     X3, t3, resid = ns_chain(M2, iters=4, refine=True, interpret=interpret)

@@ -229,6 +229,54 @@ def test_grouped_scan_bgs_on_chip():
     assert rep.all_ok, str(rep)
 
 
+def test_group_vmem_boundary_3072_on_chip():
+    """m=3072 is the LAST size whose robust-tail chain still fits the
+    Mosaic scoped-VMEM stack inside ``bgs_group_fused`` (driver gate
+    ``m0 <= 3072`` at ops/blockqr.py; measured OOM 19.12 MB at m=4096/g4).
+    The whole group — tail panel included — must compile and factor
+    in-kernel at this boundary."""
+    from mixedprecisionblockqr_tpu.ops import metrics as M
+    from mixedprecisionblockqr_tpu.ops.blockqr import (
+        _block_qr_bgs,
+        _group_kernel_fits,
+    )
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    assert _group_kernel_fits(3072, 128, 4)
+    a = np.random.default_rng(5).random((3072, 512), dtype=np.float32) - 0.5
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 128, POLICY_MIXED_FAST, True, None, group_panels=4,
+            on_tpu=True, reorth=False,
+        )
+    )(jnp.asarray(a))
+    rep = M.evaluate(a, np.asarray(Q, np.float32),
+                     np.asarray(R, np.float32)[:512], precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
+def test_group_vmem_boundary_4096_fallback_on_chip():
+    """One size past the boundary: at m=4096 the group kernel still serves
+    CLEAN groups (8 MB buffer fits the 10 MB quota) but any group holding
+    a robust tail panel must fall back to the per-panel chain kernels —
+    the compile-time scoped-vmem OOM this guards is invisible to
+    interpret mode.  Success = compiles AND the quality triple passes."""
+    from mixedprecisionblockqr_tpu.ops import metrics as M
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    a = np.random.default_rng(6).random((4096, 512), dtype=np.float32) - 0.5
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 128, POLICY_MIXED_FAST, True, None, group_panels=4,
+            on_tpu=True, reorth=False,
+        )
+    )(jnp.asarray(a))
+    rep = M.evaluate(a, np.asarray(Q, np.float32),
+                     np.asarray(R, np.float32)[:512], precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
 def test_dist_bgs_shardmap_d1_on_chip():
     """The distributed BGS tier's shard_map program on the real chip at
     d=1 — collectives lower to on-device no-ops but the whole program
