@@ -10,7 +10,15 @@ plain 1-collective chain on pre-tail panels (lax.cond) — this script
 certifies it with the full metric triple, at `--n 4096` (budget probe,
 cost scales ~n^3) then `--n 16384` (the config-5 shape).
 
-Usage: python r5_dist_cert_cpu.py [n] [block_size] [group_panels]
+Usage: python r5_dist_cert_cpu.py [n] [block_size] [group_panels] [method]
+
+Round-5 finding (committed rows below): bgs1 g4 at 16384^2 finishes the
+31-minute run with backward 2.7e-7 but orth 4.0e-3 — single-pass
+inter-GROUP CGS drift over nb/g = 16 groups breaks the 2^-23*m = 1.95e-3
+criterion.  The fix is the 'bgs2' scan tier (grouped inter-group BCGS2:
+the double Qbuf pass scrubs each group against all previous groups before
+factoring, killing exactly the drift term that grows with n/r, at 2x the
+bgs1 traffic instead of the per-panel 'bgs' tier's 4x).
 """
 
 import json
@@ -45,12 +53,13 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     r = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     g = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    pm = sys.argv[4] if len(sys.argv) > 4 else "bgs1"
     mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
     a = np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
     t0 = time.time()
     Q, R = dist_block_qr(
         jnp.asarray(a), mesh, block_size=r, policy=POLICY_FP32,
-        mode="complete", loop_mode="scan", panel_method="bgs1",
+        mode="complete", loop_mode="scan", panel_method=pm,
         group_panels=g,
     )
     Q = jax.block_until_ready(Q)
@@ -59,7 +68,7 @@ def main():
                            precision_bits=23)
     row = {
         "config": f"{n}^2 complete-Q dist_block_qr, 8-device CPU mesh, "
-                  f"GROUPED scan bgs1 g{g}, fp32, block {r}",
+                  f"GROUPED scan {pm} g{g}, fp32, block {r}",
         "wall_s": round(wall, 1),
         "backward": rep.backward,
         "orthogonality": rep.orthogonality,

@@ -997,10 +997,11 @@ def _block_qr_bgs(
                 # three-pass scheme, convergent for any input.
                 if use_fused:
                     Qk, t, rresid = panel_qr_fused(P, robust=True,
+                                                   chain_mid=chain_mid,
                                                    interpret=interp)
                 elif use_pallas:
                     Qk, t, _, rresid = tri_cholqr_robust_fused(
-                        P, interpret=interp
+                        P, chain_mid=chain_mid, interpret=interp
                     )
                 else:
                     Qk, t, _, rresid = tri_cholqr_robust(
@@ -1013,6 +1014,7 @@ def _block_qr_bgs(
                     iters=(base_iters if j < 0.75 * nb
                            else base_iters + tail_bump),
                     gram_hi=gram_prec == _HI,
+                    chain_mid=chain_mid,
                     interpret=interp,
                 )
                 worst_resid = jnp.maximum(worst_resid, resid)
@@ -1022,6 +1024,7 @@ def _block_qr_bgs(
                     G,
                     iters=(base_iters if j < 0.75 * nb
                            else base_iters + tail_bump),
+                    chain_mid=chain_mid,
                     interpret=interp,
                 )
                 Qk = jnp.matmul(P, X, precision=gram_prec)
@@ -1079,6 +1082,8 @@ def _block_qr_bgs_scan(
     on_tpu: bool = False,
     reorth: bool = True,
     group_panels: int = 1,
+    chain_mid: bool = False,
+    reorth_grouped: bool = False,
 ):
     """Scan-mode Block Gram-Schmidt: ONE compiled panel step, classical-GS
     projections against a preallocated Q buffer.
@@ -1118,6 +1123,36 @@ def _block_qr_bgs_scan(
     Requires n % r == 0; complete mode only for m == n (same contract as
     ``_block_qr_bgs``).
     """
+    step, carry0, nsteps = _bgs_scan_machinery(
+        A, B, block_size, policy, on_tpu=on_tpu, reorth=reorth,
+        group_panels=group_panels, chain_mid=chain_mid,
+        reorth_grouped=reorth_grouped,
+    )
+    Qbuf, R, QtB, worst_resid = jax.lax.fori_loop(0, nsteps, step, carry0)
+    return _bgs_scan_finalize(
+        A.shape[0], A.shape[1], policy, want_q, B is not None,
+        Qbuf, R, QtB, worst_resid,
+    )
+
+
+def _bgs_scan_machinery(
+    A: jax.Array,
+    B: Optional[jax.Array],
+    block_size: int,
+    policy: DTypePolicy,
+    on_tpu: bool,
+    reorth: bool,
+    group_panels: int,
+    chain_mid: bool,
+    reorth_grouped: bool = False,
+):
+    """The scan-BGS step function, exposed so both the one-shot driver
+    (``_block_qr_bgs_scan``) and the checkpointed segmented driver
+    (``models/resumable.py`` — SURVEY §5 checkpoint/resume) run the SAME
+    compiled step: identical math, identical carry, so a resumed run is
+    bit-identical to an uninterrupted one.  Returns
+    ``(step, carry0, nsteps)`` with carry = (Qbuf, R, QtB, worst_resid).
+    """
     from mixedprecisionblockqr_tpu.ops.pallas.ns import (
         panel_qr_fused,
         tri_cholqr_robust_fused,
@@ -1142,9 +1177,13 @@ def _block_qr_bgs_scan(
 
     def _panel(P):
         if fits_vmem:
-            Qk, t, resid = panel_qr_fused(P, robust=True, interpret=interp)
+            Qk, t, resid = panel_qr_fused(P, robust=True,
+                                          chain_mid=chain_mid,
+                                          interpret=interp)
         else:
-            Qk, t, _, resid = tri_cholqr_robust_fused(P, interpret=interp)
+            Qk, t, _, resid = tri_cholqr_robust_fused(
+                P, chain_mid=chain_mid, interpret=interp
+            )
         return Qk, t, resid
 
     Qbuf = jnp.zeros((m, n), q_dtype)
@@ -1155,13 +1194,18 @@ def _block_qr_bgs_scan(
 
     # Grouping reorders the SAME single-pass CGS math (one Qbuf pass per
     # group + eager in-group projections), so it serves the bgs1 tier
-    # unchanged; the reorth tiers need their BCGS2 second pass against the
-    # freshly-written in-group panels too — grouping would skip it
-    # (measured orth 1.3e-4 vs the 6.1e-5 fp32 criterion at 512^2) — so
-    # they stay per-panel.
+    # unchanged; the FULL reorth tier ('bgs') needs its BCGS2 second pass
+    # against the freshly-written in-group panels too — grouping would
+    # skip it (measured orth 1.3e-4 vs the 6.1e-5 fp32 criterion at
+    # 512^2) — so it stays per-panel.  ``reorth_grouped`` (the 'bgs2'
+    # scan tier) keeps the group width WITH the double Qbuf pass: the
+    # scrub kills the inter-group drift that grows with n/r (the 16384^2
+    # fp32-criterion breaker) at half the 'bgs' traffic, leaving only the
+    # group-width-bounded in-group single-pass term.
     g = (
         group_panels
-        if group_panels > 1 and nb % group_panels == 0 and not reorth
+        if group_panels > 1 and nb % group_panels == 0
+        and (not reorth or reorth_grouped)
         else 1
     )
     gw = g * r
@@ -1213,17 +1257,30 @@ def _block_qr_bgs_scan(
         R = jax.lax.dynamic_update_slice(R, Rcol, (0, lam_g))
         return Qbuf, R, QtB, wr
 
-    Qbuf, R, QtB, worst_resid = jax.lax.fori_loop(
-        0, nb // g, step, (Qbuf, R, QtB, jnp.float32(0.0))
-    )
+    carry0 = (Qbuf, R, QtB, jnp.float32(0.0))
+    return step, carry0, nb // g
 
+
+def _bgs_scan_finalize(
+    m: int,
+    n: int,
+    policy: DTypePolicy,
+    want_q: bool,
+    with_b: bool,
+    Qbuf,
+    R,
+    QtB,
+    worst_resid,
+):
+    """Close a scan-BGS carry into the public (R_full, Q, B) triple —
+    shared by the one-shot and resumable drivers."""
     R_full = (
         jnp.concatenate([R, jnp.zeros((m - n, n), R.dtype)], 0)
         if m > n else R
     )
     R_full = jnp.triu(R_full.astype(policy.accum))
     Q = Qbuf if want_q else None
-    Bout = QtB if B is not None else None
+    Bout = QtB if with_b else None
     R_full, Q, Bout = _poison_if_unconverged(worst_resid, R_full, Q, Bout)
     return R_full, Q, Bout
 
@@ -1256,10 +1313,20 @@ def _jitted_driver(
             # run ALL in-kernel dots HIGHEST and differ only in the
             # scrub's precision.
             if loop_mode == "scan":
+                # chain_mid stays OFF here: the scan tier is Qbuf-HBM
+                # bound, so the cheaper NS iterations measured a wash at
+                # 16384^2 (109.1 -> 109.4 TF) while drifting orth 0.071 ->
+                # 0.086 (experiments/r5_scale_mid.jsonl) — not worth the
+                # quality.  The unrolled driver keeps it (+1.3% at 8192^2,
+                # the round-5 headline lever at <= 3072).
                 return _block_qr_bgs_scan(
                     A, block_size, policy, want_q, B, on_tpu=on_tpu,
                     reorth=panel_method in ("bgs", "bgs2"),
                     group_panels=group_panels,
+                    # bgs2 scan = grouped inter-group BCGS2 (half the
+                    # 'bgs' Qbuf traffic; in-group drift bounded by the
+                    # group width).
+                    reorth_grouped=panel_method == "bgs2",
                 )
             return _block_qr_bgs(
                 A, block_size, policy, want_q, B,

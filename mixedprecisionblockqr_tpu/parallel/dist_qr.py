@@ -381,6 +381,7 @@ def _dist_bgs_scan_local(
     reorth: bool = True,
     on_tpu: bool = False,
     group_panels: int = 1,
+    reorth_grouped: bool = False,
 ):
     """Scan-mode distributed Block Gram-Schmidt: ONE compiled panel step
     (the ``_block_qr_bgs_scan`` structure inside shard_map).
@@ -409,7 +410,16 @@ def _dist_bgs_scan_local(
     Grouping reorders the same single-pass CGS math, so it serves the
     'bgs1' tier; the 'bgs' reorth tier needs its BCGS2 second pass against
     freshly-written in-group panels too and stays per-panel (g = 1), same
-    contract as the single-chip scan driver.
+    contract as the single-chip scan driver.  ``reorth_grouped`` (the
+    'bgs2' scan tier) keeps the group width WITH the double Qbuf pass:
+    the scrub covers every previous group (killing the inter-group CGS
+    drift that grows with n/r — the term that broke the 16384^2 fp32
+    criterion at 4.0e-3, experiments/r5_dist_cert_cpu.jsonl), while
+    in-group drift stays single-pass, bounded by the group width
+    (measured 1.6e-4 at 4096^2 g4) — at HALF the 'bgs' tier's Qbuf
+    traffic and collective count.  Mirrors the single-chip UNROLLED
+    reorth semantics (``_block_qr_bgs``: group-start scrub + eager
+    in-group projections).
 
     Returns (Qbuf_loc (h, n), R (n, n) replicated, QtB, worst_resid-
     poisoned outputs).
@@ -496,11 +506,13 @@ def _dist_bgs_scan_local(
     QtB = jnp.zeros((n, kB), jnp.float32)
     Bc = B_loc if B_loc is not None else jnp.zeros((h, 1), jnp.float32)
 
-    # Grouping serves the single-pass tier only (see docstring); the
-    # reorth tier's BCGS2 second pass needs per-panel Qbuf projections.
+    # Grouping serves the single-pass tier and (reorth_grouped) the
+    # inter-group-BCGS2 mid tier; the full 'bgs' tier's per-panel second
+    # pass keeps g = 1 (see docstring).
     g = (
         group_panels
-        if group_panels > 1 and nb % group_panels == 0 and not reorth
+        if group_panels > 1 and nb % group_panels == 0
+        and (not reorth or reorth_grouped)
         else 1
     )
     gw = g * r
@@ -787,6 +799,7 @@ def _jitted_dist_bgs(
     group_panels: int = 4,
     on_tpu: bool = False,
     loop_mode: str = "unroll",
+    reorth_grouped: bool = False,
 ):
     mesh = _MESHES[mesh_key]
 
@@ -796,6 +809,7 @@ def _jitted_dist_bgs(
                 A, B if with_b else None, m=m, n=n,
                 block_size=block_size, axis=axis, policy=policy,
                 reorth=reorth, on_tpu=on_tpu, group_panels=group_panels,
+                reorth_grouped=reorth_grouped,
             )
         else:
             Qbuf, R, QtB = _dist_bgs_local(
@@ -863,11 +877,14 @@ def dist_block_qr(
         raise ValueError(f"rows {m} must divide across {d} devices")
     h = m // d
 
-    if panel_method in ("bgs", "bgs1"):
+    if panel_method in ("bgs", "bgs1", "bgs2"):
         # Distributed Block Gram-Schmidt tier (_dist_bgs_local): full-height
         # panels — NO square-leaf hazard (the Gram is global, aspect m/r) —
         # Q by concatenation into a row-sharded buffer.  Same contract as
         # the single-chip tier: r | n, reduced-Q = (m, n).
+        # Ladder: 'bgs1' single-pass (grouped), 'bgs2' scan = grouped
+        # inter-group BCGS2 (half the 'bgs' Qbuf traffic, kills the drift
+        # term that grows with n/r), 'bgs' full per-panel BCGS2.
         if n % min(block_size, n) != 0 or n < 2 * block_size:
             raise ValueError(
                 f"dist bgs needs block_size | n and n >= 2*block_size "
@@ -891,8 +908,8 @@ def dist_block_qr(
 
         fn = _jitted_dist_bgs(
             m, n, d, min(block_size, n), policy, b is not None, axis,
-            _mesh_key(mesh), panel_method == "bgs", group_panels,
-            _on_tpu(), loop_mode,
+            _mesh_key(mesh), panel_method in ("bgs", "bgs2"), group_panels,
+            _on_tpu(), loop_mode, panel_method == "bgs2",
         )
         Qbuf, R, QtB = fn(A_sh, B)
         if not bool(jnp.isfinite(R[0, 0])):
