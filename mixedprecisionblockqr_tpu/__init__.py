@@ -65,6 +65,10 @@ from mixedprecisionblockqr_tpu.models.lstsq import (
     lstsq,
     lstsq_pivoted,
 )
+from mixedprecisionblockqr_tpu.models.resumable import (
+    block_qr_resumable,
+    clear_checkpoints,
+)
 
 __version__ = "0.1.0"
 
@@ -103,5 +107,7 @@ __all__ = [
     "caqr",
     "lstsq",
     "back_substitution",
+    "block_qr_resumable",
+    "clear_checkpoints",
     "__version__",
 ]
