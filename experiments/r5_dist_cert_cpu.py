@@ -30,6 +30,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    # XLA's CPU collectives hard-kill the process when any virtual
+    # device takes >40 s to reach a rendezvous (rendezvous.cc).  At
+    # 16384^2 each device's local GEMM stretch between collectives
+    # legitimately exceeds that under host contention — two runs died
+    # mid-flight on the FIRST all-reduce.  These are correctness
+    # timeouts, not perf knobs: raise them to hours for the cert.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
 ).strip()
 
 import jax
