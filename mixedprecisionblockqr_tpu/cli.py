@@ -322,9 +322,16 @@ def cmd_dist(args) -> int:
             if n_ // r_ > 32 and args.loop_mode == "unroll":
                 # Large panel counts: the unrolled driver compiles n/r
                 # distinct panel programs (minutes-to-hours over the
-                # remote-compile relay) — switch to the grouped scan tier,
-                # matching resolve_panel_config (round-3 ADVICE item 4).
+                # remote-compile relay) — switch to scan, matching
+                # resolve_panel_config (round-3 ADVICE item 4).  In scan
+                # mode 'bgs' runs PER-PANEL (the round-4 16k budget
+                # blowout: 3 collectives + 2 full-width Qbuf passes per
+                # panel); the grouped inter-group-BCGS2 tier ('bgs2')
+                # keeps the group width at the same criterion-passing
+                # quality class — the certified 16384^2 config
+                # (BENCH_NOTES round-5, experiments/r5_dist_cert_cpu).
                 args.loop_mode = "scan"
+                args.panel_method = "bgs2"
         elif per_dev_rows >= 2 * args.block_size:
             # Shifted CholeskyQR2 leaves (plain cholqr2 collapsed at
             # 8192^2 — BENCH_NOTES round-3 trailing-corner fix).
@@ -333,13 +340,13 @@ def cmd_dist(args) -> int:
             # Squarish per-device leaves are CholeskyQR-hostile.
             args.panel_method = "householder"
     if args.panel_method not in (
-        "householder", "cholqr2", "cholqr2s", "bgs", "bgs1"
+        "householder", "cholqr2", "cholqr2s", "bgs", "bgs1", "bgs2"
     ):
         # Error instead of silently coercing (round-1 VERDICT CLI drift):
-        # the distributed leaf factorization supports exactly these two.
+        # the distributed leaf factorization supports exactly these.
         print(
             "error: dist supports --panel-method "
-            "householder|cholqr2|cholqr2s|bgs|bgs1, "
+            "householder|cholqr2|cholqr2s|bgs|bgs1|bgs2, "
             f"got {args.panel_method!r}",
             file=sys.stderr,
         )
@@ -347,7 +354,8 @@ def cmd_dist(args) -> int:
     # BGS materializes the reduced Q (m x n): evaluate reduced for m != n.
     mode = (
         "reduced"
-        if args.panel_method in ("bgs", "bgs1") and a.shape[0] != a.shape[1]
+        if args.panel_method in ("bgs", "bgs1", "bgs2")
+        and a.shape[0] != a.shape[1]
         else "complete"
     )
     Q, R = dist_block_qr(
@@ -357,7 +365,11 @@ def cmd_dist(args) -> int:
         group_panels=args.group_panels,
     )
     rep = metrics.evaluate(a, Q, R, precision_bits=policy.precision_bits)
-    print(f"devices={len(jax.devices())} mesh={dict(mesh.shape)}")
+    print(
+        f"devices={len(jax.devices())} mesh={dict(mesh.shape)} "
+        f"panel_method={args.panel_method} loop_mode={args.loop_mode} "
+        f"group_panels={args.group_panels}"
+    )
     print(rep)
     return 0 if rep.all_ok else 1
 

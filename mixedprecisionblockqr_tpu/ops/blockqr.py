@@ -87,6 +87,12 @@ def check_policy_method(policy: DTypePolicy, panel_method: str) -> None:
 #:   'balanced' -> bgs2  ~721us, orth ~5.7e-4 (HIGH reorth scrub)
 #:   'high'     -> bgs   ~906us, orth ~3.4e-5 (HIGHEST reorth scrub)
 #:   'robust'   -> householder (unconditionally Householder-grade)
+#: Scale note (fp32 policies): 'fast' single-pass inter-group CGS drift
+#: GROWS with n/r and crosses the 2^-23*m orthogonality criterion around
+#: 16384^2 (measured 4.0e-3 vs limit 1.95e-3 — BENCH_NOTES round-5 dist
+#: cert); 'balanced'+ scrub it back (bgs2 at 16384^2: 8.0e-5).  The fp32
+#: DEFAULT is 'high', so only an explicit quality='fast' opts into the
+#: drift; mixed/bf16 criteria (2^-8*m) are never binding there.
 QUALITY_LEVELS = ("fast", "balanced", "high", "robust")
 _QUALITY_BGS = {"fast": "bgs1", "balanced": "bgs2", "high": "bgs"}
 
@@ -902,7 +908,14 @@ def _block_qr_bgs(
     # want_q yields the (m, n) concatenated Q — the reduced factor; for
     # m == n that IS the complete Q (block_qr guards complete-mode m > n).
     assert n % r == 0 and m >= n
-    A = A.astype(policy.panel)
+    # The working set is a SHRINKING trailing carry ``T`` (columns not yet
+    # factored), never an in-place update of A: mutating the jit input
+    # forces XLA to clone the full (m, n) parameter buffer (a measured
+    # 24 us f32 copy at 2048^2) and every trailing update then rewrites
+    # the whole buffer instead of its live suffix.  Each group peels its
+    # columns off the front of T and the group projection produces the
+    # next, narrower T — all updates sized to the live data.
+    T = A.astype(policy.panel)
     worst_resid = jnp.float32(0.0)
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
@@ -920,6 +933,9 @@ def _block_qr_bgs(
         lam_g = i * r
         js = list(range(i, min(i + group_panels, nb)))
         g_end = (js[-1] + 1) * r
+        gw = g_end - lam_g
+        # Peel this group's columns off the trailing carry.
+        Pbuf, T = T[:, :gw], T[:, gw:]
         if reorth and lam_g > 0:
             # BCGS2-style group re-projection: scrub what the single-pass
             # bf16 trailing projections left behind on this group's columns
@@ -931,17 +947,15 @@ def _block_qr_bgs(
             # class) restores the quality ladder at ~3x the bf16 GEMM cost
             # on just these two GEMMs per group.
             Qprev = jnp.concatenate(qcols, axis=1)
-            Cg = A[:, lam_g:g_end].astype(jnp.float32)
+            Cg = Pbuf.astype(jnp.float32)
             # bgs2 scrubs at HIGH (3-pass bf16, ~2^-14 class — the mid
             # cost/quality point), bgs at HIGHEST (full fp32).
             rp = jax.lax.Precision.HIGH if mid_tier else _HI
             C2 = jnp.matmul(Qprev.T, Cg, precision=rp,
                             preferred_element_type=jnp.float32)
-            A = A.at[:, lam_g:g_end].set(
-                (Cg - jnp.matmul(Qprev, C2, precision=rp,
-                                 preferred_element_type=jnp.float32)
-                 ).astype(A.dtype)
-            )
+            Pbuf = (Cg - jnp.matmul(Qprev, C2, precision=rp,
+                                    preferred_element_type=jnp.float32)
+                    ).astype(Pbuf.dtype)
             R = R.at[:lam_g, lam_g:g_end].add(C2)
         robust_js = tuple(j >= nb - n_robust for j in js)
         if use_group and (not any(robust_js) or m0 <= 3072):
@@ -957,7 +971,7 @@ def _block_qr_bgs(
                 for j in js
             )
             robust_t = robust_js
-            Pg = A[:, lam_g:g_end].astype(jnp.float32)
+            Pg = Pbuf.astype(jnp.float32)
             # bgs1: all tall dots at trailing precision (max throughput).
             # bgs/bgs2 (reorth): ALL in-kernel dots HIGHEST — round-4
             # isolation (experiments/r4_tiers.jsonl) showed ANY bf16
@@ -982,15 +996,21 @@ def _block_qr_bgs(
                 qtb.append(mm_t(Qg.T, B))
             qcols.append(Qg)
             if g_end < n:
-                C = A[:, g_end:]
-                G1 = mm_t(Qg.T, C)
-                A = A.at[:, g_end:].set((C - mm_t(Qg, G1)).astype(A.dtype))
+                G1 = mm_t(Qg.T, T)
+                T = (T - mm_t(Qg, G1)).astype(T.dtype)
                 R = R.at[lam_g:g_end, g_end:].set(G1)
             i = js[-1] + 1
             continue
+        # qcols holds ONE entry per group-kernel group but one PER PANEL
+        # here — record where this group's panels start (indexing by panel
+        # number js[0] crashes whenever an earlier group took the group
+        # kernel and this per-panel group still has trailing columns,
+        # e.g. 4096^2 r=64: n_robust=5 spans two groups).
+        q_start = len(qcols)
         for j in js:
             lam = j * r
-            P = A[:, lam : lam + r]
+            c0 = lam - lam_g  # column offset within the group buffer
+            P = Pbuf[:, c0 : c0 + r]
             if j >= nb - n_robust:
                 # The last panel(s) inherit the trailing corner's
                 # conditioning (cond(G) can reach 1e5-1e8): shifted
@@ -1042,10 +1062,13 @@ def _block_qr_bgs(
                 worst_resid = jnp.maximum(worst_resid, resid)
             R = R.at[lam : lam + r, lam : lam + r].set(t)
             if lam + r < g_end:  # eager projection of the group's own cols
-                C = A[:, lam + r : g_end]
+                C = Pbuf[:, c0 + r :]
                 G1 = mm_t(Qk.T, C)
-                A = A.at[:, lam + r : g_end].set(
-                    (C - mm_t(Qk, G1)).astype(A.dtype)
+                # .at.set on the INTERNAL group buffer is an in-place DUS
+                # (the old Pbuf is dead here) — only the live suffix is
+                # rewritten, and the jit parameter A is never cloned.
+                Pbuf = Pbuf.at[:, c0 + r :].set(
+                    (C - mm_t(Qk, G1)).astype(Pbuf.dtype)
                 )
                 R = R.at[lam : lam + r, lam + r : g_end].set(G1)
             if B is not None:
@@ -1053,10 +1076,9 @@ def _block_qr_bgs(
             qcols.append(Qk)
         if g_end < n:
             # one wide projection per group with the concatenated group Q
-            Qg = jnp.concatenate(qcols[js[0] :], axis=1)
-            C = A[:, g_end:]
-            G1 = mm_t(Qg.T, C)
-            A = A.at[:, g_end:].set((C - mm_t(Qg, G1)).astype(A.dtype))
+            Qg = jnp.concatenate(qcols[q_start:], axis=1)
+            G1 = mm_t(Qg.T, T)
+            T = (T - mm_t(Qg, G1)).astype(T.dtype)
             R = R.at[lam_g:g_end, g_end:].set(G1)
         i = js[-1] + 1
 
@@ -1116,7 +1138,9 @@ def _block_qr_bgs_scan(
 
     Projection GEMMs run full-width (m x n x r) regardless of progress —
     2x the exact-slice FLOPs of the unrolled driver — but stay on the MXU
-    at policy.trailing precision.  Measured at 16384^2 mixed_fast
+    at policy.trailing precision on the bgs1 tier (reorth tiers run them
+    fp32 HIGHEST against an fp32-resident Qbuf, the ladder's price — see
+    ``_bgs_scan_machinery``).  Measured at 16384^2 mixed_fast
     (BENCH_NOTES round-3): reorth=False 215 ms (1.46x over the Yamamoto
     scan's 315 ms, orth 0.16), reorth=True 400 ms at orth 5.5e-3 (3x
     tighter than the Yamamoto scan) — and compile drops 118 s -> 8 s.
@@ -1167,6 +1191,19 @@ def _bgs_scan_machinery(
     q_dtype = policy.q_store or policy.accum
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
+    # Reorth tiers ('bgs' per-panel, 'bgs2' grouped): ALL projection
+    # passes run fp32 HIGHEST and Qbuf carries fp32 through the loop —
+    # a scrub at the trailing precision's own noise scrubs nothing, and a
+    # bf16-resident Qbuf caps it at bf16 regardless (round-3 ADVICE item 2
+    # / round-4 isolation; same fix as the unrolled drivers and the dist
+    # scan driver).  'bgs1' keeps trailing-precision projections and the
+    # policy's resident Q dtype (max throughput).
+    mm_p = (
+        (lambda a, b: jnp.matmul(
+            a.astype(jnp.float32), b.astype(jnp.float32), precision=_HI))
+        if reorth else mm_t
+    )
+    qbuf_dtype = jnp.float32 if reorth else q_dtype
     # One robust panel factorization for every step: the fused mega-kernel's
     # robust chain keeps ~5 m x r fp32 intermediates live (the measured
     # 19.12M scoped-vmem OOM at m=4096 in the GROUP kernel counted exactly
@@ -1186,7 +1223,7 @@ def _bgs_scan_machinery(
             )
         return Qk, t, resid
 
-    Qbuf = jnp.zeros((m, n), q_dtype)
+    Qbuf = jnp.zeros((m, n), qbuf_dtype)
     R = jnp.zeros((n, n), jnp.float32)
     kB = B.shape[1] if B is not None else 1
     QtB = jnp.zeros((n, kB), jnp.float32)
@@ -1218,12 +1255,13 @@ def _bgs_scan_machinery(
         )
         # Classical-GS projection of the WHOLE group against every written
         # Q column (columns >= lam_g are still zero -> zero coefficients,
-        # exact no-ops) — ONE full-width pass over Qbuf per group.
-        C = mm_t(Qbuf.T, Cg)
-        Cg = Cg - mm_t(Qbuf, C)
+        # exact no-ops) — ONE full-width pass over Qbuf per group (mm_p:
+        # fp32 HIGHEST on the reorth tiers, trailing precision on bgs1).
+        C = mm_p(Qbuf.T, Cg)
+        Cg = Cg - mm_p(Qbuf, C)
         if reorth:
-            C2 = mm_t(Qbuf.T, Cg)
-            Cg = Cg - mm_t(Qbuf, C2)
+            C2 = mm_p(Qbuf.T, Cg)
+            Cg = Cg - mm_p(Qbuf, C2)
             C = C + C2
         # Rcol accumulates the group's (n, gw) coefficient block: previous
         # groups' coefficients from C, then per-panel t / in-group
@@ -1234,7 +1272,7 @@ def _bgs_scan_machinery(
             Qk, t, resid = _panel(P)
             wr = jnp.maximum(wr, 0.01 * resid)  # robust panels: 1e-2 tol
             Qbuf = jax.lax.dynamic_update_slice(
-                Qbuf, Qk.astype(q_dtype), (0, lam_g + j * r)
+                Qbuf, Qk.astype(qbuf_dtype), (0, lam_g + j * r)
             )
             row = lam_g + j * r
             row = jnp.asarray(row)
@@ -1243,8 +1281,8 @@ def _bgs_scan_machinery(
             if j + 1 < g:
                 # eager in-group projection (static column slices)
                 Ct = Cg[:, (j + 1) * r :]
-                G1 = mm_t(Qk.T, Ct)
-                Cg = Cg.at[:, (j + 1) * r :].set(Ct - mm_t(Qk, G1))
+                G1 = mm_p(Qk.T, Ct)
+                Cg = Cg.at[:, (j + 1) * r :].set(Ct - mm_p(Qk, G1))
                 Rcol = jax.lax.dynamic_update_slice(
                     Rcol, jnp.concatenate([t, G1], axis=1), (row, jr)
                 )
@@ -1279,7 +1317,10 @@ def _bgs_scan_finalize(
         if m > n else R
     )
     R_full = jnp.triu(R_full.astype(policy.accum))
-    Q = Qbuf if want_q else None
+    # Reorth tiers carry Qbuf fp32 through the loop; the policy's compact
+    # Q residency (q_store) applies on return only.
+    q_dtype = policy.q_store or policy.accum
+    Q = Qbuf.astype(q_dtype) if want_q else None
     Bout = QtB if with_b else None
     R_full, Q, Bout = _poison_if_unconverged(worst_resid, R_full, Q, Bout)
     return R_full, Q, Bout

@@ -430,6 +430,17 @@ def _dist_bgs_scan_local(
     assert n % r == 0
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
+    # Reorth tiers ('bgs' per-panel, 'bgs2' grouped): ALL projections run
+    # fp32 HIGHEST, mirroring the unrolled dist driver and the single-chip
+    # drivers (round-3 ADVICE item 2 / round-4 isolation: ANY bf16
+    # single-pass projection pins the orth floor at ~0.1 — a scrub at the
+    # noise's own precision scrubs nothing).  'bgs1' keeps
+    # trailing-precision projections (max throughput).
+    mm_p = (
+        (lambda a, b: jnp.matmul(
+            a.astype(jnp.float32), b.astype(jnp.float32), precision=_HI))
+        if reorth else mm_t
+    )
 
     def psum_gram(Xl, Yl):
         return jax.lax.psum(jnp.matmul(Xl.T, Yl, precision=_HI), axis)
@@ -500,7 +511,13 @@ def _dist_bgs_scan_local(
 
     q_dtype = policy.q_store or policy.accum
     A_loc = A_loc.astype(policy.panel)
-    Qbuf = jnp.zeros((h, n), q_dtype)
+    # Reorth tiers scrub AGAINST Qbuf — it must carry fp32 through the
+    # loop (a bf16-resident q_store would cap the scrub at bf16 noise);
+    # the compact Q dtype applies on return only.  bgs1 keeps the
+    # policy's resident dtype (its Qbuf GEMMs run at trailing precision
+    # anyway, and the bf16 residency IS the round-4 traffic cut).
+    qbuf_dtype = jnp.float32 if reorth else q_dtype
+    Qbuf = jnp.zeros((h, n), qbuf_dtype)
     R = jnp.zeros((n, n), jnp.float32)
     kB = B_loc.shape[1] if B_loc is not None else 1
     QtB = jnp.zeros((n, kB), jnp.float32)
@@ -524,12 +541,13 @@ def _dist_bgs_scan_local(
         Cg = jax.lax.dynamic_slice(A_loc, (0, lam_g), (h, gw)).astype(
             jnp.float32
         )
-        # ONE full-width psum'd projection pass over Qbuf per GROUP.
-        C = jax.lax.psum(mm_t(Qbuf.T, Cg), axis)
-        Cg = Cg - mm_t(Qbuf, C)
+        # ONE full-width psum'd projection pass over Qbuf per GROUP
+        # (mm_p: fp32 HIGHEST on the reorth tiers, trailing on bgs1).
+        C = jax.lax.psum(mm_p(Qbuf.T, Cg), axis)
+        Cg = Cg - mm_p(Qbuf, C)
         if reorth:
-            C2 = jax.lax.psum(mm_t(Qbuf.T, Cg), axis)
-            Cg = Cg - mm_t(Qbuf, C2)
+            C2 = jax.lax.psum(mm_p(Qbuf.T, Cg), axis)
+            Cg = Cg - mm_p(Qbuf, C2)
             C = C + C2
         Rcol = C[:n, :]
         for j in range(g):  # static unroll inside the one compiled step
@@ -546,14 +564,14 @@ def _dist_bgs_scan_local(
             jr = jnp.full((), j * r, dtype=row.dtype)
             zero = jnp.zeros((), row.dtype)
             Qbuf = jax.lax.dynamic_update_slice(
-                Qbuf, Qk.astype(q_dtype), (zero, row)
+                Qbuf, Qk.astype(qbuf_dtype), (zero, row)
             )
             if j + 1 < g:
                 # Eager in-group projection (static column slices, one
                 # psum of the (r x remaining) coefficient block).
                 Ct = Cg[:, (j + 1) * r :]
-                G1 = jax.lax.psum(mm_t(Qk.T, Ct), axis)
-                Cg = Cg.at[:, (j + 1) * r :].set(Ct - mm_t(Qk, G1))
+                G1 = jax.lax.psum(mm_p(Qk.T, Ct), axis)
+                Cg = Cg.at[:, (j + 1) * r :].set(Ct - mm_p(Qk, G1))
                 Rcol = jax.lax.dynamic_update_slice(
                     Rcol, jnp.concatenate([t, G1], axis=1), (row, jr)
                 )
@@ -569,6 +587,7 @@ def _dist_bgs_scan_local(
     Qbuf, R, QtB, worst = jax.lax.fori_loop(
         0, nb // g, step, (Qbuf, R, QtB, jnp.float32(0.0))
     )
+    Qbuf = Qbuf.astype(q_dtype)  # compact Q residency applies on return
     R = jnp.triu(R)
     from mixedprecisionblockqr_tpu.ops.blockqr import _poison_if_unconverged
 

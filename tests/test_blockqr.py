@@ -221,6 +221,85 @@ def test_block_qr_bgs_scan_mode():
     assert rep2.all_ok and rep2.orthogonality < 1e-4, str(rep2)
 
 
+def test_block_qr_bgs2_scan_grouped_kills_intergroup_drift():
+    """'bgs2' in scan mode = grouped inter-group BCGS2: the double Qbuf
+    pass before each group factors scrubs the single-pass CGS drift that
+    grows with n/r (the 16384^2 fp32-criterion breaker,
+    experiments/r5_dist_cert_cpu.jsonl) while KEEPING the group width —
+    half the per-panel 'bgs' tier's Qbuf traffic.  Must beat bgs1's
+    orthogonality on the same matrix and keep the grouped structure
+    (same group_panels accepted)."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
+
+    a = _rand(512, 512, seed=25)  # uncentered uniform: ill-conditioned
+    orth = {}
+    for pm in ("bgs1", "bgs2"):
+        Q, R = block_qr(jnp.asarray(a), 64, POLICY_FP32, mode="complete",
+                        panel_method=pm, loop_mode="scan", group_panels=4)
+        rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                               precision_bits=23)
+        assert rep.backward_ok and rep.lower_trapezoid_ok, f"{pm}: {rep}"
+        orth[pm] = rep.orthogonality
+        if pm == "bgs2":
+            # The scrub restores the fp32 criterion bgs1 drifts past
+            # (measured here: bgs1 ~3.8e-4 vs limit 6.1e-5; bgs2 ~1.0e-5).
+            assert rep.all_ok, f"bgs2 must meet the fp32 criterion: {rep}"
+    # The scrub must measurably beat single-pass inter-group CGS.
+    assert orth["bgs2"] < 0.5 * orth["bgs1"], orth
+
+
+def test_block_qr_bgs_mixed_group_and_perpanel_groups():
+    """Regression: when group-kernel groups PRECEDE a per-panel group that
+    still has trailing columns (m > 3072 sends robust-tail groups through
+    the per-panel chain kernels; a robust tail spanning TWO groups makes
+    the first of them non-final), the per-group trailing projection must
+    concatenate exactly that group's panel Qs.  Indexing qcols by panel
+    number (qcols[js[0]:]) crashed here — qcols holds ONE entry per
+    group-kernel group."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+
+    # m > 3072: robust groups go per-panel (centered uniform — the canary
+    # legitimately poisons the uncentered rank-1-dominated draw here).
+    a = _rand(3200, 768, seed=31) - 0.5
+    # robust_tail=5 > group_panels=4: robust panels span groups 1 AND 2 of
+    # nb=12 — group 0 takes the group kernel, group 1 is per-panel WITH
+    # trailing columns (the crash site: HEAD raised "Incompatible shapes
+    # for broadcasting: (64, 256) and requested shape (256, 256)"),
+    # group 2 is the final group.
+    R_full, Q, _ = _block_qr_bgs(
+        jnp.asarray(a), 64, POLICY_FP32, want_q=True, B=None,
+        group_panels=4, on_tpu=False, reorth=False, robust_tail=5,
+    )
+    rep = metrics.evaluate(a, np.asarray(Q)[:, :768],
+                           np.asarray(R_full)[:768], precision_bits=23)
+    assert rep.backward_ok and rep.lower_trapezoid_ok, str(rep)
+
+
+@pytest.mark.parametrize("pm", ["bgs", "bgs2"])
+def test_block_qr_scan_reorth_mixed_policy_orth(pm):
+    """SCAN-mode reorth tiers under MIXED policies deliver the unrolled
+    ladder's class: Qbuf carries fp32 through the loop and every
+    projection pass runs fp32 HIGHEST regardless of policy.trailing /
+    q_store (round-3 ADVICE item 2, extended to the scan drivers —
+    pre-fix this exact 512^2 case measured orth 9.2e-3 (bgs) / 5.2e-2
+    (bgs2) and bf16-class backward 1.6e-3; post-fix 1.1e-6 / 6.2e-6 with
+    fp32-class backward).  MIXED_FAST's bf16-resident returned Q
+    quantizes QtQ to ~7.8e-4."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    a = _rand(512, 512, seed=25) - 0.5
+    for pol, lim, blim in ((POLICY_MIXED, 1e-4, 1e-5),
+                           (POLICY_MIXED_FAST, 3e-3, 5e-3)):
+        Q, R = block_qr(jnp.asarray(a), 64, pol, mode="complete",
+                        panel_method=pm, loop_mode="scan", group_panels=4)
+        orth = float(metrics.orthogonality_error(np.asarray(Q, np.float32)))
+        bwd = float(metrics.backward_error(
+            a, np.asarray(Q, np.float32), np.asarray(R, np.float32)))
+        assert orth < lim and bwd < blim, (pm, pol.q_store, orth, bwd)
+
+
 def test_block_qr_bgs_scan_matches_unrolled_quality():
     """Same matrix through scan-BGS and unrolled BGS: quality class equal
     (not bitwise — different projection order), both inside criteria."""

@@ -114,6 +114,31 @@ def test_cli_dist_auto_leaf_selection(tmp_path):
     )
 
 
+def test_cli_dist_auto_large_nb_takes_grouped_bgs2_scan(tmp_path, capsys):
+    # nb = n/r > 32: auto must leave the unrolled driver (n/r distinct
+    # panel programs) for the GROUPED inter-group-BCGS2 scan tier — the
+    # certified 16384^2 config — not the per-panel 'bgs' scan (the
+    # round-4 collective-budget blowout).
+    assert (
+        main(["dist", "--m", "1024", "--n", "1024", "--block-size", "16",
+              "--policy", "fp32", "--log-dir", str(tmp_path)])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "panel_method=bgs2" in out and "loop_mode=scan" in out, out
+
+
+def test_cli_dist_explicit_bgs2(tmp_path):
+    # bgs2 is a supported explicit dist method (the certified tier must
+    # be reachable by name, not only via auto).
+    assert (
+        main(["dist", "--m", "256", "--n", "128", "--block-size", "16",
+              "--policy", "fp32", "--panel-method", "bgs2",
+              "--loop-mode", "scan", "--log-dir", str(tmp_path)])
+        == 0
+    )
+
+
 def test_cli_tsqr_bench(capsys):
     assert (
         main(["tsqr-bench", "--m", "2048", "--n", "32", "--leaves", "4",

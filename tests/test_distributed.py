@@ -505,3 +505,31 @@ def test_dist_bgs_reorth_mixed_policy_orth(mesh):
                          panel_method="bgs", policy=POLICY_MIXED)
     orth = float(metrics.orthogonality_error(np.asarray(Q, np.float32)))
     assert orth < 1e-4, orth
+
+
+@pytest.mark.parametrize("pm", ["bgs", "bgs2"])
+def test_dist_scan_reorth_mixed_policy_orth(mesh, pm):
+    """The SCAN-mode dist reorth tiers under MIXED policies must deliver
+    the same fp32-class orthogonality as the unrolled driver: Qbuf carries
+    fp32 through the loop and every projection pass runs fp32 HIGHEST
+    regardless of policy.trailing/q_store (the same ADVICE-item-2 class
+    the unrolled driver was fixed for — before the fix the scan scrub ran
+    at policy.trailing against a q_store-resident Qbuf and measured orth
+    1.5e-2 (bgs) / 8.3e-2 (bgs2) at this exact 512^2 case; the fix gives
+    1.2e-6 / 1.1e-5).  MIXED_FAST's returned-Q bf16 residency quantizes
+    QtQ to ~6.7e-4 — still 20-100x under the broken mode."""
+    from mixedprecisionblockqr_tpu.ops.policy import (
+        POLICY_MIXED,
+        POLICY_MIXED_FAST,
+    )
+
+    A = np.random.default_rng(16).random((512, 512)).astype(np.float32) - 0.5
+    for pol, lim in ((POLICY_MIXED, 1e-4), (POLICY_MIXED_FAST, 3e-3)):
+        Q, R = dist_block_qr(A, mesh, block_size=32, mode="reduced",
+                             panel_method=pm, loop_mode="scan",
+                             group_panels=4, policy=pol)
+        orth = float(metrics.orthogonality_error(np.asarray(Q, np.float32)))
+        assert orth < lim, (pm, pol.q_store, orth)
+        rep = metrics.evaluate(A, np.asarray(Q, np.float32), np.asarray(R),
+                               precision_bits=8)
+        assert rep.backward_ok, (pm, str(rep))
