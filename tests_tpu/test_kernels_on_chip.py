@@ -277,6 +277,48 @@ def test_group_vmem_boundary_4096_fallback_on_chip():
     assert rep.all_ok, str(rep)
 
 
+def test_scan_bgs2_reorth_mixed_on_chip():
+    """Round-5 scan-tier reorth fix ON CHIP: under a mixed policy the
+    'bgs2' scan tier must deliver fp32-class orthogonality — every
+    projection pass runs fp32 HIGHEST against an fp32-resident Qbuf.
+    This is MXU-specific: on TPU a plain fp32 ``jnp.matmul`` is ONE bf16
+    pass, so dropping the HIGHEST annotation regresses orth to ~2^-8
+    class on chip while the CPU-mesh tests (true fp32 math) stay green —
+    exactly the blind spot this suite exists for."""
+    from mixedprecisionblockqr_tpu.ops import metrics as M
+    from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+
+    a = np.random.default_rng(25).random((512, 512), dtype=np.float32) - 0.5
+    Q, R = block_qr(jnp.asarray(a), 128, POLICY_MIXED, mode="complete",
+                    panel_method="bgs2", loop_mode="scan", group_panels=2,
+                    check="defer")
+    orth = float(M.orthogonality_error(np.asarray(Q, np.float32)))
+    bwd = float(M.backward_error(a, np.asarray(Q, np.float32),
+                                 np.asarray(R, np.float32)))
+    assert orth < 1e-4 and bwd < 1e-5, (orth, bwd)
+
+
+def test_dist_scan_bgs2_reorth_mixed_d1_on_chip():
+    """The distributed grouped-BCGS2 scan tier's shard_map program under a
+    MIXED policy on the real chip (d=1): the psum'd HIGHEST projection
+    passes + fp32 Qbuf must survive compiled lowering, not just the
+    CPU-mesh suite's fp32 math (same MXU blind spot as the single-chip
+    test above)."""
+    from mixedprecisionblockqr_tpu.ops import metrics as M
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED
+    from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
+    from mixedprecisionblockqr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((1,), ("rows",))
+    a = np.random.default_rng(16).random((512, 512)).astype(np.float32) - 0.5
+    Q, R = dist_block_qr(a, mesh, block_size=128, mode="reduced",
+                         panel_method="bgs2", loop_mode="scan",
+                         group_panels=2, policy=POLICY_MIXED)
+    orth = float(M.orthogonality_error(np.asarray(Q, np.float32)))
+    assert orth < 1e-4, orth
+
+
 def test_dist_bgs_shardmap_d1_on_chip():
     """The distributed BGS tier's shard_map program on the real chip at
     d=1 — collectives lower to on-device no-ops but the whole program
