@@ -50,7 +50,11 @@ from mixedprecisionblockqr_tpu.ops.blockqr import (
 )
 from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
 from mixedprecisionblockqr_tpu.ops import metrics
-from mixedprecisionblockqr_tpu.ops.givens import givens_qr
+from mixedprecisionblockqr_tpu.ops.givens import (
+    givens_qr,
+    qr_append_row,
+    qr_rank1_update,
+)
 from mixedprecisionblockqr_tpu.ops.pivoted import (
     numerical_rank,
     pivoted_qr,
@@ -88,6 +92,8 @@ __all__ = [
     "apply_block_reflector_right",
     "block_qr",
     "givens_qr",
+    "qr_rank1_update",
+    "qr_append_row",
     "pivoted_qr",
     "pivoted_qr_qtb",
     "numerical_rank",

@@ -190,3 +190,154 @@ def givens_qr(A, mode: str = "reduced", loop_mode: str = "auto"):
     if mode == "complete":
         return Q, R
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def _rot_rows(X: jax.Array, i, c, s):
+    """Apply ``[[c, -s], [s, c]]`` to rows (i, i+1) of X (dynamic i)."""
+    two = jax.lax.dynamic_slice(X, (i, jnp.zeros_like(i)), (2, X.shape[1]))
+    lo, hi = two[0:1, :], two[1:2, :]
+    new = jnp.concatenate([c * lo - s * hi, s * lo + c * hi], axis=0)
+    return jax.lax.dynamic_update_slice(X, new, (i, jnp.zeros_like(i)))
+
+
+def qr_rank1_update(Q, R, u, v):
+    """Rank-1 QR update: given complete-mode ``A = Q R``, return (Q', R')
+    with ``A + u vᵀ = Q' R'`` in O(mn) work — the Givens primitive the
+    factorization-level drivers cannot match (a fresh blocked QR costs
+    O(mn²)).  Downdate by passing ``-u`` (or ``-v``).
+
+    Golub & Van Loan §12.5.1: with w = Qᵀu, a bottom-up chain of m−1
+    adjacent-row rotations J maps w → ‖w‖e₁ while filling exactly one
+    subdiagonal of R (upper Hessenberg); adding ``(Jᵀw)₀ · e₀vᵀ`` touches
+    only row 0, and a top-down chain of min(m−1, n) rotations
+    re-triangularizes.  Both chains run as ``lax.fori_loop`` over
+    dynamic two-row slices (each rotation is a 2×n VPU update; the
+    sequential chain is inherent to the algorithm, not the
+    implementation).  This is the incremental-solve primitive for the
+    reference's SLAM least-squares workload (``README.md:11-12``): a new
+    observation row / Jacobian perturbation re-solves in O(mn) instead of
+    refactoring.
+
+    Args:
+        Q: (m, m) orthogonal (complete mode — a reduced m×k Q cannot
+           represent the component of u outside range(Q)).
+        R: (m, n) upper triangular (complete-mode R).
+        u: (m,) or (m, 1); v: (n,) or (n, 1).
+
+    Returns:
+        (Q', R') with the same shapes, Q' orthogonal, R' upper triangular.
+    """
+    Q = jnp.asarray(Q, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    u = jnp.asarray(u, jnp.float32).reshape(-1)
+    v = jnp.asarray(v, jnp.float32).reshape(-1)
+    m, n = R.shape
+    if Q.shape != (m, m):
+        raise ValueError(
+            f"qr_rank1_update needs the complete-mode factors: Q {Q.shape} "
+            f"vs R {R.shape} (use mode='complete')"
+        )
+
+    @jax.jit
+    def run(Q, R, u, v):
+        w = jnp.matmul(Q.T, u[:, None], precision=_HI)[:, 0]
+
+        def sweep_up(t, carry):
+            # zero w[i+1] into w[i], bottom-up: i = m-2 .. 0
+            w, R, Qt = carry
+            i = m - 2 - t
+            c, s = givens_rotation(w[i], w[i + 1])
+            wi = c * w[i] - s * w[i + 1]
+            w = w.at[i].set(wi).at[i + 1].set(0.0)
+            return w, _rot_rows(R, i, c, s), _rot_rows(Qt, i, c, s)
+
+        # Rotations apply LEFT of R, so Q absorbs their transposes on the
+        # RIGHT: track Qᵀ and rotate its ROWS with the same coefficients.
+        w, R, Qt = jax.lax.fori_loop(
+            0, m - 1, sweep_up, (w, R, Q.T), unroll=4
+        )
+        # R is now upper Hessenberg; the update lands entirely in row 0.
+        R = R.at[0, :].add(w[0] * v)
+
+        def sweep_down(i, carry):
+            # re-triangularize: zero H[i+1, i], top-down
+            R, Qt = carry
+            col = jax.lax.dynamic_slice(R, (i, i), (2, 1))
+            c, s = givens_rotation(col[0, 0], col[1, 0])
+            return _rot_rows(R, i, c, s), _rot_rows(Qt, i, c, s)
+
+        R, Qt = jax.lax.fori_loop(
+            0, min(m - 1, n), sweep_down, (R, Qt), unroll=4
+        )
+        # Exact triangularity: the zeroed subdiagonal carries roundoff.
+        return Qt.T, jnp.triu(R)
+
+    return run(Q, R, u, v)
+
+
+def qr_append_row(R, a, qtb=None, beta=None):
+    """Append an observation row to a triangular factor: given the R of
+    ``A = QR`` (n×n upper) return the R' of ``[A; aᵀ]`` in O(n²) — the
+    incremental-least-squares primitive for the reference's SLAM workload
+    (``README.md:11-12``: each new measurement adds Jacobian rows; a full
+    refactorization costs O(mn²)).  No Q is needed: n Givens rotations
+    fold the new row into R one pivot at a time, and the same rotations
+    applied to the augmented column keep ``Qᵀb`` current.
+
+    Args:
+        R: (n, n) upper triangular.
+        a: (n,) the new matrix row.
+        qtb: optional (n,) or (n, k) current ``Qᵀb``; requires ``beta``.
+        beta: optional scalar or (k,) new rhs entry (b's new element).
+
+    Returns:
+        R' alone, or (R', qtb') when ``qtb`` is given — both of the SAME
+        shape (the appended row's residual component drops out of the
+        square factor, exactly like LAPACK's sequential ``*qrupdate``
+        usage in recursive least squares).
+    """
+    R = jnp.asarray(R, jnp.float32)
+    a = jnp.asarray(a, jnp.float32).reshape(-1)
+    n = R.shape[0]
+    if R.shape != (n, n) or a.shape != (n,):
+        raise ValueError(f"qr_append_row: R {R.shape} must be square and "
+                         f"match a {a.shape}")
+    with_b = qtb is not None
+    if with_b:
+        qtb = jnp.asarray(qtb, jnp.float32)
+        squeeze = qtb.ndim == 1
+        qtb2 = qtb[:, None] if squeeze else qtb
+        brow = jnp.broadcast_to(
+            jnp.asarray(beta, jnp.float32).reshape(-1), (qtb2.shape[1],)
+        )
+        Raug = jnp.concatenate([R, qtb2], axis=1)
+        arow = jnp.concatenate([a, brow])
+    else:
+        Raug, arow = R, a
+
+    @jax.jit
+    def run(Raug, arow):
+        def body(i, carry):
+            Raug, arow = carry
+            # Zero the new row's i-th entry against the pivot R[i, i].
+            rii = jax.lax.dynamic_slice(Raug, (i, i), (1, 1))[0, 0]
+            c, s = givens_rotation(rii, arow[i])
+            Ri = jax.lax.dynamic_slice(
+                Raug, (i, jnp.zeros_like(i)), (1, Raug.shape[1])
+            )[0]
+            new_Ri = c * Ri - s * arow
+            arow = s * Ri + c * arow
+            Raug = jax.lax.dynamic_update_slice(
+                Raug, new_Ri[None, :], (i, jnp.zeros_like(i))
+            )
+            return Raug, arow
+
+        Raug, _ = jax.lax.fori_loop(0, n, body, (Raug, arow), unroll=4)
+        return Raug
+
+    Raug = run(Raug, arow)
+    if not with_b:
+        return jnp.triu(Raug)
+    Rp = jnp.triu(Raug[:, :n])
+    qtb_p = Raug[:, n:]
+    return Rp, (qtb_p[:, 0] if squeeze else qtb_p)

@@ -54,6 +54,70 @@ def test_givens_qr_scan_matches_unroll(shape):
     np.testing.assert_allclose(np.asarray(Rs), np.asarray(Ru), atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [(12, 8), (16, 16), (8, 20)])
+def test_qr_rank1_update(shape):
+    """GVL 12.5.1 rank-1 update: Q'R' = A + uv^T at fp32 roundoff, Q'
+    orthogonal, R' exactly triangular; downdating with -u round-trips."""
+    from mixedprecisionblockqr_tpu.ops.givens import qr_rank1_update
+
+    rng = np.random.default_rng(sum(shape))
+    A = rng.standard_normal(shape).astype(np.float32)
+    u = rng.standard_normal(shape[0]).astype(np.float32)
+    v = rng.standard_normal(shape[1]).astype(np.float32)
+    Q, R = givens_qr(A, mode="complete")
+    Q2, R2 = qr_rank1_update(Q, R, u, v)
+    tgt = A + np.outer(u, v)
+    rep = metrics.evaluate(tgt, np.asarray(Q2), np.asarray(R2),
+                           precision_bits=23)
+    assert rep.all_ok, str(rep)
+    assert np.allclose(np.tril(np.asarray(R2), -1), 0.0)
+    Q3, R3 = qr_rank1_update(Q2, R2, -u, v)
+    np.testing.assert_allclose(np.asarray(Q3) @ np.asarray(R3), A, atol=1e-4)
+
+
+def test_qr_rank1_update_rejects_reduced_q():
+    from mixedprecisionblockqr_tpu.ops.givens import qr_rank1_update
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((10, 4)).astype(np.float32)
+    Q, R = givens_qr(A, mode="reduced")
+    with pytest.raises(ValueError):
+        qr_rank1_update(Q, np.zeros((10, 4), np.float32),
+                        np.zeros(10), np.zeros(4))
+
+
+def test_qr_append_row_incremental_lstsq():
+    """Appending an observation row to (R, Q^T b) must reproduce the
+    stacked system's fresh factorization: same |diag(R)|, same R^T R
+    Gram, and the SAME least-squares solution — the recursive-least-
+    squares primitive (new SLAM measurement rows without O(mn^2)
+    refactorization)."""
+    from mixedprecisionblockqr_tpu.ops.givens import qr_append_row
+
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((20, 8)).astype(np.float32)
+    b = rng.standard_normal(20).astype(np.float32)
+    a_new = rng.standard_normal(8).astype(np.float32)
+    beta = np.float32(0.7)
+    Q, R = givens_qr(A, mode="reduced")
+    qtb = np.asarray(Q).T @ b
+    R2, qtb2 = qr_append_row(np.asarray(R)[:8], a_new, qtb=qtb, beta=beta)
+    A2 = np.vstack([A, a_new])
+    Rref = np.linalg.qr(A2.astype(np.float64), mode="r")
+    assert np.allclose(np.abs(np.diag(np.asarray(R2))),
+                       np.abs(np.diag(Rref)), rtol=1e-5)
+    assert np.allclose(np.asarray(R2).T @ np.asarray(R2), A2.T @ A2,
+                       rtol=1e-4, atol=1e-4)
+    x_inc = np.linalg.solve(np.asarray(R2), np.asarray(qtb2))
+    x_ref, *_ = np.linalg.lstsq(A2.astype(np.float64),
+                                np.append(b, beta).astype(np.float64),
+                                rcond=None)
+    np.testing.assert_allclose(x_inc, x_ref, atol=1e-4)
+    # R-only variant agrees with the augmented one.
+    R3 = qr_append_row(np.asarray(R)[:8], a_new)
+    np.testing.assert_allclose(np.asarray(R3), np.asarray(R2), atol=1e-6)
+
+
 def test_givens_qr_scan_past_unroll_ceiling():
     """'auto' routes past the ~512^2 unrolled-program ceiling to the scan
     tier (O(log m) program in a fori_loop) — fp32-roundoff quality at a
