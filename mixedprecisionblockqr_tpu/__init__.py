@@ -17,6 +17,8 @@ jaidonlybbert/MixedPrecisionBlockQR (CUDA/C++/NumPy), built TPU-first:
 Public API (stable):
     qr, block_qr, householder_qr, tsqr, caqr
     lstsq, lstsq_pivoted (QR least-squares; rank-revealing min-norm path)
+    rls_init, rls_update, rls_solve (recursive least squares, streaming rows)
+    qr_rank1_update, qr_append_row (Givens incremental factor updates)
     pivoted_qr (column-pivoted rank-revealing QR)
     DTypePolicy, POLICY_FP32, POLICY_MIXED, POLICY_BF16
     metrics: backward_error, orthogonality_error, lower_trapezoid_error
@@ -68,6 +70,10 @@ from mixedprecisionblockqr_tpu.models.lstsq import (
     back_substitution,
     lstsq,
     lstsq_pivoted,
+    rls_init,
+    rls_solve,
+    rls_update,
+    RLSState,
 )
 from mixedprecisionblockqr_tpu.models.resumable import (
     block_qr_resumable,
@@ -113,6 +119,10 @@ __all__ = [
     "caqr",
     "lstsq",
     "back_substitution",
+    "rls_init",
+    "rls_update",
+    "rls_solve",
+    "RLSState",
     "block_qr_resumable",
     "clear_checkpoints",
     "__version__",

@@ -16,6 +16,8 @@ GEMMs instead of the reference's scalar Python loop.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -256,3 +258,71 @@ def lstsq(
         if float(jnp.min(d)) <= tol * float(jnp.max(d)):
             return lstsq_pivoted(A, b, rcond=rcond)
     return back_substitution(Rn, qtb[:n] if qtb.ndim == 1 else qtb[:n, :])
+
+
+# --------------------------------------------------------------------------
+# Recursive least squares (incremental solve for streaming observations).
+# --------------------------------------------------------------------------
+
+class RLSState(NamedTuple):
+    """Recursive-least-squares state: the (n, n) triangular factor and the
+    rotated right-hand side of everything observed so far.  A pure pytree
+    — jit/scan/device-resident friendly."""
+
+    R: jax.Array    # (n, n) upper triangular
+    qtb: jax.Array  # (n,) or (n, k)
+
+
+def rls_init(
+    A,
+    b,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    policy: DTypePolicy = POLICY_FP32,
+    panel_method: str = "householder",
+) -> RLSState:
+    """Factor the initial system once (blocked QR, b threaded — no Q
+    materialized) and return the streaming state.
+
+    The reference's SLAM workload (``README.md:11-12``) re-factors the
+    whole Jacobian per Gauss-Newton iterate; with RLS each new
+    measurement row costs O(n²) Givens work instead of the O(mn²)
+    refactorization — the standard square-root-information-filter
+    formulation of incremental least squares."""
+    A = jnp.asarray(A, jnp.float32)
+    n = A.shape[1]
+    R, qtb = block_qr_qtb(A, jnp.asarray(b, jnp.float32),
+                          block_size=block_size, policy=policy,
+                          panel_method=panel_method, check="sync")
+    return RLSState(jnp.triu(R[:n, :n]),
+                    qtb[:n] if qtb.ndim == 1 else qtb[:n, :])
+
+
+def rls_update(state: RLSState, rows, betas) -> RLSState:
+    """Fold new observation rows into the state: ``rows`` is (n,) or
+    (k, n); ``betas`` the matching rhs entries (scalar / (k,) for a
+    vector rhs; (k, nb) for a multi-rhs state).  One ``lax.scan`` step
+    per row, n pivot rotations each — O(k·n²), no Q anywhere."""
+    from mixedprecisionblockqr_tpu.ops.givens import _fold_rows_run
+
+    R = jnp.asarray(state.R, jnp.float32)
+    n = R.shape[0]
+    rows = jnp.asarray(rows, jnp.float32)
+    if rows.ndim == 1:
+        rows = rows[None, :]
+    k = rows.shape[0]
+    qtb = jnp.asarray(state.qtb, jnp.float32)
+    squeeze = qtb.ndim == 1
+    qtb2 = qtb[:, None] if squeeze else qtb
+    betas = jnp.asarray(betas, jnp.float32).reshape(k, -1)
+    betas = jnp.broadcast_to(betas, (k, qtb2.shape[1]))
+    Raug = jnp.concatenate([R, qtb2], axis=1)
+    rows_aug = jnp.concatenate([rows, betas], axis=1)
+    Raug = _fold_rows_run(n, Raug.shape[1])(Raug, rows_aug)
+    Rp = jnp.triu(Raug[:, :n])
+    qtb_p = Raug[:, n:]
+    return RLSState(Rp, qtb_p[:, 0] if squeeze else qtb_p)
+
+
+def rls_solve(state: RLSState, block_size: int = 64) -> jax.Array:
+    """Current least-squares solution of everything folded in so far."""
+    return back_substitution(state.R, state.qtb, block_size=block_size)

@@ -275,6 +275,44 @@ def qr_rank1_update(Q, R, u, v):
     return run(Q, R, u, v)
 
 
+@lru_cache(maxsize=None)
+def _fold_rows_run(n_pivots: int, width: int):
+    """Jitted core shared by ``qr_append_row`` and the recursive-least-
+    squares driver (``models/lstsq.py``): fold a BATCH of new rows into an
+    augmented triangular factor, one ``lax.scan`` step per row, n pivot
+    rotations per step.  Triangularity is preserved exactly (each
+    rotation only mixes row i with a row whose first i entries are
+    already zero)."""
+
+    @jax.jit
+    def run(Raug, rows):  # Raug (n_pivots, width); rows (k, width)
+        def fold(Raug, arow):
+            def body(i, carry):
+                Raug, arow = carry
+                # Zero the new row's i-th entry against the pivot R[i, i].
+                rii = jax.lax.dynamic_slice(Raug, (i, i), (1, 1))[0, 0]
+                c, s = givens_rotation(rii, arow[i])
+                Ri = jax.lax.dynamic_slice(
+                    Raug, (i, jnp.zeros_like(i)), (1, width)
+                )[0]
+                new_Ri = c * Ri - s * arow
+                arow = s * Ri + c * arow
+                Raug = jax.lax.dynamic_update_slice(
+                    Raug, new_Ri[None, :], (i, jnp.zeros_like(i))
+                )
+                return Raug, arow
+
+            Raug, _ = jax.lax.fori_loop(
+                0, n_pivots, body, (Raug, arow), unroll=4
+            )
+            return Raug, None
+
+        Raug, _ = jax.lax.scan(fold, Raug, rows)
+        return Raug
+
+    return run
+
+
 def qr_append_row(R, a, qtb=None, beta=None):
     """Append an observation row to a triangular factor: given the R of
     ``A = QR`` (n×n upper) return the R' of ``[A; aᵀ]`` in O(n²) — the
@@ -315,27 +353,7 @@ def qr_append_row(R, a, qtb=None, beta=None):
     else:
         Raug, arow = R, a
 
-    @jax.jit
-    def run(Raug, arow):
-        def body(i, carry):
-            Raug, arow = carry
-            # Zero the new row's i-th entry against the pivot R[i, i].
-            rii = jax.lax.dynamic_slice(Raug, (i, i), (1, 1))[0, 0]
-            c, s = givens_rotation(rii, arow[i])
-            Ri = jax.lax.dynamic_slice(
-                Raug, (i, jnp.zeros_like(i)), (1, Raug.shape[1])
-            )[0]
-            new_Ri = c * Ri - s * arow
-            arow = s * Ri + c * arow
-            Raug = jax.lax.dynamic_update_slice(
-                Raug, new_Ri[None, :], (i, jnp.zeros_like(i))
-            )
-            return Raug, arow
-
-        Raug, _ = jax.lax.fori_loop(0, n, body, (Raug, arow), unroll=4)
-        return Raug
-
-    Raug = run(Raug, arow)
+    Raug = _fold_rows_run(n, Raug.shape[1])(Raug, arow[None, :])
     if not with_b:
         return jnp.triu(Raug)
     Rp = jnp.triu(Raug[:, :n])

@@ -133,3 +133,57 @@ def test_lstsq_iterative_refinement():
     e0 = np.linalg.norm(x0 - xt)
     e2 = np.linalg.norm(x2 - xt)
     assert e2 < e0 * 0.5, (e0, e2)
+
+
+def test_rls_streaming_matches_stacked_oracle():
+    """Recursive least squares: rls_init + streamed rls_update batches
+    must reproduce np.linalg.lstsq of the fully stacked system — the
+    square-root-information-filter formulation of the SLAM incremental
+    solve (new measurement rows at O(n^2) each, no refactorization)."""
+    from mixedprecisionblockqr_tpu.models.lstsq import (
+        rls_init,
+        rls_solve,
+        rls_update,
+    )
+
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((64, 12)).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    st = rls_init(A, b)
+    x_ref, *_ = np.linalg.lstsq(A.astype(np.float64), b.astype(np.float64),
+                                rcond=None)
+    np.testing.assert_allclose(np.asarray(rls_solve(st)), x_ref, atol=1e-4)
+    rows = rng.standard_normal((10, 12)).astype(np.float32)
+    betas = rng.standard_normal(10).astype(np.float32)
+    st = rls_update(st, rows[:4], betas[:4])   # batch fold
+    st = rls_update(st, rows[4], betas[4])     # single-row fold
+    st = rls_update(st, rows[5:], betas[5:])
+    A2 = np.vstack([A, rows])
+    b2 = np.append(b, betas)
+    x_ref2, *_ = np.linalg.lstsq(A2.astype(np.float64),
+                                 b2.astype(np.float64), rcond=None)
+    np.testing.assert_allclose(np.asarray(rls_solve(st)), x_ref2, atol=1e-4)
+    # State stays exactly triangular (streaming never degrades structure).
+    assert np.allclose(np.tril(np.asarray(st.R), -1), 0.0)
+
+
+def test_rls_multi_rhs():
+    from mixedprecisionblockqr_tpu.models.lstsq import (
+        rls_init,
+        rls_solve,
+        rls_update,
+    )
+
+    rng = np.random.default_rng(6)
+    A = rng.standard_normal((40, 8)).astype(np.float32)
+    B = rng.standard_normal((40, 3)).astype(np.float32)
+    st = rls_init(A, B)
+    rows = rng.standard_normal((5, 8)).astype(np.float32)
+    betas = rng.standard_normal((5, 3)).astype(np.float32)
+    st = rls_update(st, rows, betas)
+    X = np.asarray(rls_solve(st))
+    A2 = np.vstack([A, rows])
+    B2 = np.vstack([B, betas])
+    X_ref, *_ = np.linalg.lstsq(A2.astype(np.float64), B2.astype(np.float64),
+                                rcond=None)
+    np.testing.assert_allclose(X, X_ref, atol=1e-4)
