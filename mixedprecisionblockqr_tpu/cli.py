@@ -306,6 +306,21 @@ def cmd_dist(args) -> int:
     a = _load_matrix(args)
     mesh = make_mesh()
     policy = policy_by_name(args.policy)
+    if args.quality and args.panel_method == "auto":
+        # The same ladder as single-chip `qr --quality` (dist_block_qr
+        # applies the identical mapping for library callers): fast/
+        # balanced/high -> bgs1/bgs2/bgs, robust -> householder leaves.
+        args.panel_method = {
+            "fast": "bgs1", "balanced": "bgs2", "high": "bgs",
+            "robust": "householder",
+        }[args.quality]
+        if (
+            args.panel_method.startswith("bgs")
+            and a.shape[1] // min(args.block_size, a.shape[1]) > 32
+            and args.loop_mode == "unroll"
+        ):
+            # Same large-panel-count compile guard as the auto branch.
+            args.loop_mode = "scan"
     if args.panel_method == "auto":
         m_, n_ = a.shape
         r_ = min(args.block_size, n_)

@@ -878,6 +878,7 @@ def dist_block_qr(
     panel_method: str = "householder",
     loop_mode: str = "unroll",
     group_panels: int = 4,
+    quality: str | None = None,
 ):
     """Distributed blocked QR of a row-sharded A over ``mesh[axis]``.
 
@@ -888,7 +889,24 @@ def dist_block_qr(
     ``group_panels``: BGS projection-aggregation factor — in scan mode each
     fori step factors a whole group with ONE full-width Qbuf collective
     pass (single-pass 'bgs1' tier only; 'bgs' reorth stays per-panel).
+    ``quality``: the same speed/orthogonality ladder as single-chip
+    ``qr(quality=...)`` — 'fast' -> bgs1 (single-pass CGS; inter-group
+    drift grows with n/r and crosses the fp32 criterion near 16384^2),
+    'balanced' -> bgs2 (grouped inter-group BCGS2 — the certified 16384^2
+    config), 'high' -> bgs (per-panel BCGS2), 'robust' -> householder
+    leaves.  Overrides ``panel_method`` when given.
     """
+    if quality is not None:
+        from mixedprecisionblockqr_tpu.ops.blockqr import (
+            QUALITY_LEVELS,
+            _QUALITY_BGS,
+        )
+
+        if quality not in QUALITY_LEVELS:
+            raise ValueError(
+                f"quality must be one of {QUALITY_LEVELS}, got {quality!r}"
+            )
+        panel_method = _QUALITY_BGS.get(quality, "householder")
     A = jnp.asarray(A, dtype=policy.panel)
     m, n = A.shape
     d = mesh.shape[axis]

@@ -34,6 +34,25 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# XLA:CPU JIT code-space guard.  With ~230 compiled programs live in one
+# process, the NEXT compile (or persistent-cache load — both end in the
+# same executable-loading step) SEGFAULTS deterministically in jaxlib
+# (jax 0.9.0: backend_compile_and_load / get_executable_and_time /
+# put_executable_and_time frames, always once the full suite reaches
+# test #237; the same test passes in isolation or any smaller file
+# combination).  Dropping the in-memory executable references early
+# frees the code space; re-runs reload from the persistent cache.
+_CLEAR_EVERY = 100
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _xla_code_space_guard():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+
 
 @pytest.fixture
 def rng():

@@ -171,3 +171,15 @@ def test_cli_suite_resume_skips_done(tmp_path, capsys):
     second = capsys.readouterr().out
     assert "suite complete, 0 failures" in second
     assert second.count("tpu_block_fp32") < first.count("tpu_block_fp32")
+
+
+def test_cli_dist_quality_flag(tmp_path, capsys):
+    # --quality resolves the dist ladder exactly like single-chip qr.
+    assert (
+        main(["dist", "--m", "256", "--n", "256", "--block-size", "32",
+              "--policy", "fp32", "--quality", "balanced",
+              "--log-dir", str(tmp_path)])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "panel_method=bgs2" in out, out

@@ -533,3 +533,33 @@ def test_dist_scan_reorth_mixed_policy_orth(mesh, pm):
         rep = metrics.evaluate(A, np.asarray(Q, np.float32), np.asarray(R),
                                precision_bits=8)
         assert rep.backward_ok, (pm, str(rep))
+
+
+def test_dist_quality_ladder(mesh):
+    """dist_block_qr(quality=...) maps the same ladder as single-chip
+    qr(quality=...): 'fast' -> bgs1 single-pass CGS, 'balanced' -> bgs2
+    grouped BCGS2 (the certified 16384^2 config), 'robust' -> householder
+    leaves — and the scrub tiers must measurably beat 'fast' on the same
+    matrix (fp32, where the inter-group drift is the binding term)."""
+    A = np.random.default_rng(33).random((512, 512)).astype(np.float32)
+    orth = {}
+    for q in ("fast", "balanced"):
+        # block 16 -> 8 groups of 4: enough inter-group accumulation for
+        # the single-pass drift to clear the fp32 floor (measured here:
+        # fast ~1.5e-3, balanced ~3e-6; at block 32 both floor at 2e-6).
+        Q, R = dist_block_qr(A, mesh, block_size=16, mode="reduced",
+                             quality=q, loop_mode="scan", group_panels=4)
+        rep = metrics.evaluate(A, np.asarray(Q), np.asarray(R),
+                               precision_bits=23)
+        assert rep.backward_ok, (q, str(rep))
+        orth[q] = rep.orthogonality
+    assert orth["balanced"] < 0.1 * orth["fast"], orth
+    # robust -> reflector tier (works for m > n complete too)
+    B = np.random.default_rng(34).random((256, 64)).astype(np.float32)
+    Q, R = dist_block_qr(B, mesh, block_size=16, mode="complete",
+                         quality="robust")
+    rep = metrics.evaluate(B, np.asarray(Q), np.asarray(R),
+                           precision_bits=23)
+    assert rep.all_ok, str(rep)
+    with pytest.raises(ValueError):
+        dist_block_qr(A, mesh, block_size=32, quality="ultimate")

@@ -31,6 +31,17 @@ def pytest_collection_modifyitems(config, items):
     except Exception:
         on_tpu = False
     if not on_tpu:
+        if os.environ.get("MPBQR_REQUIRE_TPU"):
+            # Gate mode: an all-skipped run exits 0 and masquerades as a
+            # green on-chip gate (it happened — a tunnel outage skipped
+            # all 16 tests and only the skip count gave it away).  When
+            # the caller REQUIRES the chip, fail loudly instead.
+            pytest.exit(
+                "MPBQR_REQUIRE_TPU is set but no TPU is visible "
+                "(tunnel down or backend unregistered) — the on-chip "
+                "gate did NOT run",
+                returncode=3,
+            )
         skip = pytest.mark.skip(reason="no TPU visible; on-chip suite only")
         for item in items:
             item.add_marker(skip)
