@@ -51,6 +51,7 @@ from mixedprecisionblockqr_tpu.ops.blockqr import (
     qr,
 )
 from mixedprecisionblockqr_tpu.ops.cholqr import cholesky_qr2
+from mixedprecisionblockqr_tpu.ops.autodiff import qr_autodiff, make_differentiable_qr
 from mixedprecisionblockqr_tpu.ops import metrics
 from mixedprecisionblockqr_tpu.ops.givens import (
     givens_qr,
@@ -108,6 +109,8 @@ __all__ = [
     "block_qr_qtb",
     "block_recursive_qr",
     "cholesky_qr2",
+    "qr_autodiff",
+    "make_differentiable_qr",
     "dist_block_qr",
     "qr",
     "checked_qr",
