@@ -655,7 +655,9 @@ def _block_qr_grouped(
                     Qs, t, _, resid = tri_cholqr(
                         P, iters=iters, check=False, return_resid=True
                     )
-                worst_resid = jnp.maximum(worst_resid, resid)
+                # one-behind correction: squared = estimated true residual
+                # (ops/pallas/ns.py::_bgs_group_kernel convention)
+                worst_resid = jnp.maximum(worst_resid, resid * resid)
             if m - lam == r:
                 # SQUARE final panel: H = Qs exactly.  The Yamamoto S =
                 # I - Qs^T of a fully-orthogonal Qs can be (near-)singular
@@ -757,7 +759,17 @@ def _poison_if_unconverged(worst_resid, R_full, Q, B, tol: float = 1e-4):
     """Fail LOUDLY instead of silently wrong: when any panel's NS residual
     exceeds ``tol`` (correlated data can out-cond the fixed iteration
     budgets — the reference's positive-uniform generator does), write a
-    NaN CANARY into R[0,0] / Q[0,0] / B[0,0].  The PUBLIC drivers
+    NaN CANARY into R[0,0] / Q[0,0] / B[0,0].
+
+    ``worst_resid`` convention (round-5b): contributors normalize to an
+    ESTIMATED TRUE residual before aggregation — robust chains report
+    their exact final residual x 1e-2 (their healthy range is looser),
+    plain chains report the free one-behind correction SQUARED (the
+    quadratic final step means true ~= one-behind^2; the raw one-behind
+    over-reports by orders of magnitude on converged structured panels —
+    measured 1.3e-4 one-behind vs 2e-7 true — and falsely poisoned every
+    Bierlaire-conditioned draw, while a stalled chain at 6e-2 still
+    squares to 3.6e-3 >> tol and trips).  The PUBLIC drivers
     (``block_qr``/``block_qr_qtb``) detect it with one scalar fetch and
     transparently retry via the direct-Cholesky driver; in-jit callers can
     detect it with ``utils.checks.checked_qr`` (the canary is a signal,
@@ -796,6 +808,7 @@ def _block_qr_bgs(
     chain_mid: bool = False,
     mid_final: int = 2,
     robust_iters: tuple = (14, 12, 4),
+    tail_spill: bool = False,
 ):
     """Right-looking Block Gram-Schmidt QR — the throughput flagship
     (``panel_method='bgs'``).
@@ -958,7 +971,10 @@ def _block_qr_bgs(
                     ).astype(Pbuf.dtype)
             R = R.at[:lam_g, lam_g:g_end].add(C2)
         robust_js = tuple(j >= nb - n_robust for j in js)
-        if use_group and (not any(robust_js) or m0 <= 3072):
+        # tail_spill routes robust chains through the store-back variant
+        # (ops/pallas/ns.py::_robust_spill) whose VMEM liveness fits past
+        # the m <= 3072 robust-group cap.
+        if use_group and (not any(robust_js) or m0 <= 3072 or tail_spill):
             # Whole group in one kernel: factorizations, eager projections
             # and the group's R block all inside VMEM.  Tail panels keep
             # the in-kernel shifted three-pass chain when m is small
@@ -988,6 +1004,7 @@ def _block_qr_bgs(
                 chain_mid=chain_mid,
                 mid_final=mid_final,
                 robust_iters=tuple(robust_iters),
+                tail_spill=tail_spill,
                 interpret=interp,
             )
             worst_resid = jnp.maximum(worst_resid, resid)
@@ -1037,7 +1054,9 @@ def _block_qr_bgs(
                     chain_mid=chain_mid,
                     interpret=interp,
                 )
-                worst_resid = jnp.maximum(worst_resid, resid)
+                # plain chains report the one-behind correction: squared =
+                # estimated true residual (_bgs_group_kernel convention)
+                worst_resid = jnp.maximum(worst_resid, resid * resid)
             elif use_pallas:
                 G = jnp.matmul(P.T, P, precision=gram_prec)
                 X, t, resid = ns_chain(
@@ -1048,7 +1067,7 @@ def _block_qr_bgs(
                     interpret=interp,
                 )
                 Qk = jnp.matmul(P, X, precision=gram_prec)
-                worst_resid = jnp.maximum(worst_resid, resid)
+                worst_resid = jnp.maximum(worst_resid, resid * resid)
             else:
                 Qk, t, _, resid = tri_cholqr(
                     P,
@@ -1059,7 +1078,7 @@ def _block_qr_bgs(
                     check=False,
                     return_resid=True,
                 )
-                worst_resid = jnp.maximum(worst_resid, resid)
+                worst_resid = jnp.maximum(worst_resid, resid * resid)
             R = R.at[lam : lam + r, lam : lam + r].set(t)
             if lam + r < g_end:  # eager projection of the group's own cols
                 C = Pbuf[:, c0 + r :]

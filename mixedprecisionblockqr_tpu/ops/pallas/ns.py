@@ -111,7 +111,7 @@ def _dot3_ta(a, b):
 
 
 def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
-            cheap_iters=0, mid_iters=0):
+            cheap_iters=0, mid_iters=0, omega=True):
     """The triangular-NS chain on an SPD G (exact ``tri_inv_chol``
     semantics).  Returns (X, E) with E the last iteration's correction —
     one step BEHIND the final X (free), or, with ``final_exact``, the true
@@ -155,8 +155,21 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
     # three dots (X feeds two of them; G's split hoists out of the loop).
     if mid_iters > 0:
         Gh, Gl = _split_bf16(G)
+    # Omega schedule (ops/polar.py::ns_omega_iters parity): the early
+    # iterations over-relax the correction (X <- X + 1.5 X C) — 3.06x/iter
+    # small-eigenvalue escape instead of 2.25x at identical dot count,
+    # widening the cond(G) basin for structured panels.  omega = 1.5 (not
+    # 2) and capped at 4: the fixed point contracts at |1 - omega| per
+    # iteration, so omega = 2 leaves converged eigenvalues oscillating
+    # (measured fp32 floor regression + robust-chain NaN divergence; see
+    # ns_omega_iters).  Refine chains skip it (spectrum already at 1),
+    # and the robust three-pass composition passes omega=False — its
+    # shift already caps the condition (escape is not its constraint)
+    # and pure-Newton passes keep the round-4-calibrated floor exactly.
+    n_om = 0 if (refine or not omega) else min(4, max(0, iters - 4))
     E = eye
     for it in range(iters):
+        om = 1.5 if it < n_om else 1.0
         cheap = it < cheap_iters
         mid = not cheap and it < mid_iters
         if cheap:
@@ -169,7 +182,7 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
             E = eye - M
             C = (jnp.where(cols > rows, E, 0.0)
                  + jnp.where(rows == cols, E, 0.0) * 0.5)
-            X = X + _dot_bf16(X, C)
+            X = X + om * _dot_bf16(X, C)
         elif mid:
             dn = (((0,), (0,)), ((), ()))
             bf = lambda a, b: jnp.dot(a, b,
@@ -184,21 +197,21 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
             C = (jnp.where(cols > rows, E, 0.0)
                  + jnp.where(rows == cols, E, 0.0) * 0.5)
             Ch, Cl = _split_bf16(C)
-            X = X + bf(Xh, Ch) + bf(Xh, Cl) + bf(Xl, Ch)
+            X = X + om * (bf(Xh, Ch) + bf(Xh, Cl) + bf(Xl, Ch))
         else:
             W = _dot(G, X)
             M = _dot_ta(X, W)
             E = eye - M
             C = (jnp.where(cols > rows, E, 0.0)
                  + jnp.where(rows == cols, E, 0.0) * 0.5)
-            X = X + _dot(X, C)
+            X = X + om * _dot(X, C)
     if final_exact:
         E = eye - _dot_ta(X, _dot(G, X))
     return X, E
 
 
 def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
-               shift: float, refine: bool, chain_mid: bool):
+               shift: float, refine: bool, chain_mid: bool, omega: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -214,7 +227,8 @@ def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
     X, E = _tri_ns(G, iters, rows, cols, eye, refine=refine,
                    final_exact=refine,
                    mid_iters=max(0, iters - 2)
-                   if chain_mid and not refine else 0)
+                   if chain_mid and not refine else 0,
+                   omega=omega)
     x_ref[:] = X
     # X^{-1} = X^T G at convergence — R recovered with no solve.
     t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
@@ -223,7 +237,7 @@ def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
 
 @functools.partial(
     jax.jit, static_argnames=("iters", "shift", "refine", "chain_mid",
-                              "interpret")
+                              "omega", "interpret")
 )
 def ns_chain(
     G: jax.Array,
@@ -231,6 +245,7 @@ def ns_chain(
     shift: float = 0.0,
     refine: bool = False,
     chain_mid: bool = False,
+    omega: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused triangular-NS inverse Cholesky of an SPD Gram ``G`` (r x r).
@@ -246,7 +261,7 @@ def ns_chain(
     r = G.shape[0]
     kernel = functools.partial(
         _ns_kernel, r=r, iters=iters, shift=shift, refine=refine,
-        chain_mid=chain_mid,
+        chain_mid=chain_mid, omega=omega,
     )
     X, t, resid = pl.pallas_call(
         kernel,
@@ -342,12 +357,14 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
         # convergence so reconstruction is preserved), passes 2-3 on the
         # fresh Grams of the explicit products, absorbing the shift bias.
         Gs = G + (1e-3 * _norm2_est(G)) * eye
-        X1, _ = _tri_ns(Gs, 14, rows, cols, eye, mid_iters=mid(14))
+        X1, _ = _tri_ns(Gs, 14, rows, cols, eye, mid_iters=mid(14),
+                        omega=False)
         t1 = _dot_ta(X1, Gs)
         Q1 = jnp.dot(P, X1, preferred_element_type=jnp.float32,
                      precision=_HI)
         M1 = gram(Q1)
-        X2, _ = _tri_ns(M1, 12, rows, cols, eye, mid_iters=mid(12))
+        X2, _ = _tri_ns(M1, 12, rows, cols, eye, mid_iters=mid(12),
+                        omega=False)
         t2 = _dot_ta(X2, M1)
         Q2 = jnp.dot(Q1, X2, preferred_element_type=jnp.float32,
                      precision=_HI)
@@ -454,11 +471,13 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
     if robust:
         i1, i2, i3 = robust_iters
         Gs = G + (1e-3 * _norm2_est(G)) * eye
-        X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1))
+        X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1),
+                        omega=False)
         t1 = _dot_ta(X1, Gs)
         Q1 = tall_dot(P, X1)
         M1 = tall_dot_ta(Q1, Q1)
-        X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2))
+        X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2),
+                        omega=False)
         t2 = _dot_ta(X2, M1)
         Q2 = tall_dot(Q1, X2)
         M2 = tall_dot_ta(Q2, Q2)
@@ -486,10 +505,63 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
     return Qk, t, jnp.max(jnp.abs(E))
 
 
+def _robust_spill(q_ref, c0, r, rows, cols, eye, bf16_dots, chain_mid,
+                  mid_final, robust_iters):
+    """The shifted three-pass chain with STORE-BACK: each pass's tall
+    product (Q1, Q2, Qk) overwrites the panel's own slot in the aliased
+    group buffer instead of living as a fresh m x r VMEM temporary.  Same
+    math as ``_tri_ns_panel(robust=True)`` (loads round-trip through fp32
+    VMEM, value-identical); the point is scoped-VMEM liveness — the
+    measured 19.12 MB at m=4096/g4 is dominated by the robust chain's
+    ~5 live m x r intermediates, and spilling them through the buffer is
+    what lets the group kernel past the m <= 3072 cap."""
+    def tall_dot_ta(a, b):
+        if bf16_dots:
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    def tall_dot(a, b):
+        if bf16_dots:
+            return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_HI)
+
+    i1, i2, i3 = robust_iters
+    mid = (lambda it: max(0, it - mid_final)) if chain_mid else (lambda it: 0)
+    sl = slice(c0, c0 + r)
+    P = q_ref[:, sl]
+    G = tall_dot_ta(P, P)
+    Gs = G + (1e-3 * _norm2_est(G)) * eye
+    X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1), omega=False)
+    t1 = _dot_ta(X1, Gs)
+    q_ref[:, sl] = tall_dot(P, X1)          # Q1 overwrites P
+    Q1 = q_ref[:, sl]
+    M1 = tall_dot_ta(Q1, Q1)
+    X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2), omega=False)
+    t2 = _dot_ta(X2, M1)
+    q_ref[:, sl] = tall_dot(Q1, X2)         # Q2 overwrites Q1
+    Q2 = q_ref[:, sl]
+    M2 = tall_dot_ta(Q2, Q2)
+    X3, E = _tri_ns(M2, i3, rows, cols, eye, refine=True, final_exact=True)
+    t3 = _dot_ta(X3, M2)
+    q_ref[:, sl] = tall_dot(Q2, X3)         # final Qk in place
+    t = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
+    return t, jnp.max(jnp.abs(E))
+
+
 def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
                       g: int, iters: tuple, robust: tuple, bf16_dots: bool,
                       bf16_gram: bool, chain_cheap: bool, chain_mid: bool,
-                      mid_final: int, robust_iters: tuple):
+                      mid_final: int, robust_iters: tuple,
+                      tail_spill: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -519,18 +591,39 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
 
     for j in range(g):
         c0 = j * r
+        if robust[j] and tail_spill:
+            t, resid = _robust_spill(
+                q_ref, c0, r, rows, cols, eye, bf16_gram, chain_mid,
+                mid_final, robust_iters,
+            )
+            worst = jnp.maximum(worst, resid * 0.01)
+            rg_ref[c0 : c0 + r, c0 : c0 + r] = t
+            Qk = q_ref[:, c0 : c0 + r]
+            if j + 1 < g:
+                C = q_ref[:, c0 + r :]
+                G1, PG = proj_dots(Qk, C)
+                q_ref[:, c0 + r :] = C - PG
+                rg_ref[c0 : c0 + r, c0 + r :] = G1
+            continue
         P = q_ref[:, c0 : c0 + r]
         Qk, t, resid = _tri_ns_panel(
             P, iters[j], rows, cols, eye, robust[j], bf16_gram,
             chain_cheap=chain_cheap, chain_mid=chain_mid,
             mid_final=mid_final, robust_iters=robust_iters,
         )
-        # Robust tails carry a looser healthy range (final orthogonality
-        # ~1e-3 at the edge of the fp32-Gram domain is correct behavior,
-        # breakdown is >= 1e-1-class): pre-scale by 1e-2 so the shared
-        # 1e-4 poison threshold means 1e-2 for them (ops/blockqr.py::
-        # _poison_if_unconverged convention).
-        worst = jnp.maximum(worst, resid * (0.01 if robust[j] else 1.0))
+        # Residual convention (ops/blockqr.py::_poison_if_unconverged):
+        # robust chains report the EXACT final residual with a looser
+        # healthy range (final orthogonality ~1e-3 at the edge of the
+        # fp32-Gram domain is correct behavior, breakdown is >= 1e-1) —
+        # pre-scaled by 1e-2 so the shared 1e-4 tol means 1e-2 for them.
+        # Plain chains report the free ONE-BEHIND correction, which lags
+        # the final quadratic step by its square root (measured: 1.3e-4
+        # one-behind vs 2e-7 true on a converged cond-1e3 panel — a false
+        # trip); its SQUARE estimates the true residual, and a stalled
+        # chain (e.g. 6e-2 stuck) still trips at 3.6e-3 >> tol.
+        worst = jnp.maximum(
+            worst, resid * 0.01 if robust[j] else resid * resid
+        )
         q_ref[:, c0 : c0 + r] = Qk
         rg_ref[c0 : c0 + r, c0 : c0 + r] = t
         if j + 1 < g:
@@ -551,7 +644,8 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
 @functools.partial(
     jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
                               "bf16_gram", "chain_cheap", "chain_mid",
-                              "mid_final", "robust_iters", "interpret")
+                              "mid_final", "robust_iters", "tail_spill",
+                              "interpret")
 )
 def bgs_group_fused(
     Pg: jax.Array,
@@ -564,6 +658,7 @@ def bgs_group_fused(
     chain_mid: bool = False,
     mid_final: int = 2,
     robust_iters: tuple = (14, 12, 4),
+    tail_spill: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One WHOLE BGS group — g sequential panel factorizations plus their
@@ -578,6 +673,11 @@ def bgs_group_fused(
     Args: Pg (m, g*r) group columns, already projected against previous
     groups; per-panel static ``iters``/``robust`` tuples (robust = the
     shifted three-pass chain for ill-conditioned tail panels).
+    ``tail_spill``: run robust panels through the store-back chain
+    (``_robust_spill``) — value-identical, but each pass's tall product
+    overwrites the panel's slot in the aliased buffer instead of holding
+    ~5 live m x r VMEM temporaries, which is what fits robust groups past
+    the m <= 3072 scoped-VMEM cap.
     Returns (Qg (m, g*r), Rg (g*r, g*r) block-upper coefficient block,
     worst non-robust NS residual).
     """
@@ -596,6 +696,7 @@ def bgs_group_fused(
         robust=tuple(robust), bf16_dots=bf16_dots, bf16_gram=bf16_gram,
         chain_cheap=chain_cheap, chain_mid=chain_mid,
         mid_final=mid_final, robust_iters=tuple(robust_iters),
+        tail_spill=tail_spill,
     )
     Qg, Rg, resid = pl.pallas_call(
         kernel,
@@ -657,14 +758,14 @@ def tri_cholqr_robust_fused(
     whole three-pass composition converged (see ``_tri_ns_panel``)."""
     X1, t1, _ = ns_chain(
         jnp.matmul(P.T, P, precision=_HI), iters=14, shift=1e-3,
-        chain_mid=chain_mid, interpret=interpret,
+        chain_mid=chain_mid, omega=False, interpret=interpret,
     )
     Q1 = jnp.matmul(P, X1, precision=_HI)
     # cond(Q1) <= ~45 by the shift cap; 12 iterations converge, and the
     # refine chain runs on the FRESH Gram of the explicit product (captures
     # committed fp32 rounding — the algebraic form plateaus at ~1e-4).
     M1 = jnp.matmul(Q1.T, Q1, precision=_HI)
-    X2, t2, _ = ns_chain(M1, iters=12, chain_mid=chain_mid,
+    X2, t2, _ = ns_chain(M1, iters=12, chain_mid=chain_mid, omega=False,
                          interpret=interpret)
     Q1f = jnp.matmul(Q1, X2, precision=_HI)
     M2 = jnp.matmul(Q1f.T, Q1f, precision=_HI)

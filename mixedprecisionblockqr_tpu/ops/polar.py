@@ -83,7 +83,30 @@ def tri_iters_for_aspect(aspect: float) -> int:
     return 9
 
 
-def tri_inv_chol(G: jax.Array, iters: int = 10, with_resid: bool = False):
+def ns_omega_iters(iters: int) -> int:
+    """How many EARLY iterations of a triangular-NS chain run over-relaxed
+    (omega = 1.5): ``min(4, max(0, iters - 4))``.
+
+    Round-5b calibration (experiments/r5_omega_check.py): the iteration's
+    small-eigenvalue escape multiplier is ``(1 + omega/2)^2`` — 2.25x/iter
+    plain, 3.06x at omega = 1.5 — so over-relaxed early steps widen the
+    cond(G) basin substantially at IDENTICAL dot count (the fix for
+    structured/conditioned panels whose Grams out-cond the aspect budgets
+    calibrated on random data).  Omega is bounded by fixed-point
+    stability: the scalar map ``mu (1 + omega (1 - mu)/2)^2`` has
+    ``g'(1) = 1 - omega``, so omega = 2 is NEUTRALLY stable — converged
+    eigenvalues oscillate 1 +/- eps without contracting (measured: a
+    1.5e-5 -> 9.3e-4 orthogonality floor regression on the distributed
+    fp32 bgs2 tier, and outright NaN divergence when 9 omega iterations
+    ran inside the 14-iteration shifted robust pass via the non-normal
+    triangular coupling).  omega = 1.5 contracts at 0.5/iter near the
+    fixed point — floor-neutral everywhere tested — and the burst is
+    capped at 4 since escape saturates there."""
+    return min(4, max(0, iters - 4))
+
+
+def tri_inv_chol(G: jax.Array, iters: int = 10, with_resid: bool = False,
+                 omega: bool = True):
     """Upper-triangular X with ``X^T G X ~= I`` (X ~= chol(G)^{-1}), from
     chained matmuls only.  G must be SPD (fp32).
 
@@ -92,7 +115,12 @@ def tri_inv_chol(G: jax.Array, iters: int = 10, with_resid: bool = False):
     over-estimate, free to produce) so callers can arm a fallback: the
     fixed iteration count covers a cond(G) budget, and panels of
     CORRELATED data (e.g. the reference's positive-uniform test matrices
-    or SLAM Jacobians) can exceed it at any aspect."""
+    or SLAM Jacobians) can exceed it at any aspect.
+
+    ``omega`` (default on) over-relaxes the early iterations
+    (``ns_omega_iters``): same cost, ~an order of magnitude wider cond(G)
+    basin — the round-5b fix for structured (non-random) panels whose
+    Grams out-cond the aspect-calibrated budgets at ZERO extra dots."""
     r = G.shape[0]
     G = G.astype(jnp.float32)
     I = jnp.eye(r, dtype=jnp.float32)
@@ -102,12 +130,14 @@ def tri_inv_chol(G: jax.Array, iters: int = 10, with_resid: bool = False):
     scale = jax.lax.rsqrt(_spectral_guard(M0))
     X = jnp.diag(d * scale)
     E = I
-    for _ in range(iters):
+    n_om = ns_omega_iters(iters) if omega else 0
+    for it in range(iters):
         W = jnp.matmul(G, X, precision=_HI)
         M = jnp.matmul(X.T, W, precision=_HI)
         E = I - M
         C = jnp.triu(E, 1) + jnp.diag(jnp.diag(E)) * 0.5
-        X = X + jnp.matmul(X, C, precision=_HI)
+        upd = jnp.matmul(X, C, precision=_HI)
+        X = X + (1.5 * upd if it < n_om else upd)
     if with_resid:
         return X, jnp.max(jnp.abs(E))
     return X
@@ -121,6 +151,7 @@ def tri_cholqr(
     gram_precision=_HI,
     check: bool = True,
     return_resid: bool = False,
+    omega: bool = True,
 ) -> Tuple[jax.Array, ...]:
     """CholeskyQR-class panel factorization with no library calls on the
     convergent path.
@@ -156,7 +187,7 @@ def tri_cholqr(
     """
     m, r = P.shape
     G = jnp.matmul(P.T, P, precision=gram_precision)
-    X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+    X, resid = tri_inv_chol(G, iters=iters, with_resid=True, omega=omega)
     if check:
         def _direct(g):
             L = jnp.linalg.cholesky(g)
@@ -219,12 +250,16 @@ def tri_cholqr_robust(
     G = jnp.matmul(P.T, P, precision=_HI)
     s = 1e-3 * _spectral_guard(G)
     Gs = G + s * jnp.eye(r, dtype=jnp.float32)
-    X1 = tri_inv_chol(Gs, iters=14)
+    # Robust passes run pure Newton (omega=False): the shift caps the
+    # condition, so escape is not the constraint, and omega=1.5 measurably
+    # nudged the converged floor (~12% on a 256^2 fp32 tight-gate case).
+    X1 = tri_inv_chol(Gs, iters=14, omega=False)
     t1 = jnp.matmul(X1.T, Gs, precision=_HI)  # exact X1^{-1}
     Q1 = jnp.matmul(P, X1, precision=_HI)
     # Pass 2 needs no fallback cond: cond(Q1) <= ~45 by the shift cap.
     Q2, t2, X2 = tri_cholqr(
         Q1, iters=12, refine_iters=4, sign_fix=sign_fix, check=False,
+        omega=False,
     )
     t = jnp.triu(jnp.matmul(t2, t1, precision=_HI))
     out = (Q2, t, jnp.matmul(X1, X2, precision=_HI))

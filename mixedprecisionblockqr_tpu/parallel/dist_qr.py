@@ -245,14 +245,18 @@ def _dist_bgs_local(
             jnp.matmul(Xl.T, Yl, precision=_HI), axis
         )
 
-    def tri_chain(G, iters):
+    def tri_chain(G, iters, omega=True):
+        # omega=False on robust passes (pure Newton keeps their calibrated
+        # floor; the shift already caps the condition — ops/polar.py::
+        # ns_omega_iters).
         if on_tpu:
             from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
 
-            return ns_chain(G, iters=iters)
+            return ns_chain(G, iters=iters, omega=omega)
         from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
 
-        X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+        X, resid = tri_inv_chol(G, iters=iters, with_resid=True,
+                                omega=omega)
         t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
         return X, t, resid
 
@@ -266,16 +270,16 @@ def _dist_bgs_local(
         if on_tpu:
             from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
 
-            X1, _, _ = ns_chain(Gs, iters=14)
+            X1, _, _ = ns_chain(Gs, iters=14, omega=False)
             t1 = jnp.matmul(X1.T, Gs, precision=_HI)  # exact X1^{-1}
         else:
             from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
 
-            X1 = tri_inv_chol(Gs, iters=14)
+            X1 = tri_inv_chol(Gs, iters=14, omega=False)
             t1 = jnp.matmul(X1.T, Gs, precision=_HI)
         Q1 = jnp.matmul(P_loc.astype(jnp.float32), X1, precision=_HI)
         M1 = psum_gram(Q1, Q1)
-        X2, t2, _ = tri_chain(M1, 12)
+        X2, t2, _ = tri_chain(M1, 12, omega=False)
         Q2 = jnp.matmul(Q1, X2, precision=_HI)
         M2 = psum_gram(Q2, Q2)
         if on_tpu:
@@ -340,7 +344,8 @@ def _dist_bgs_local(
                 G = psum_gram(P_loc, P_loc)
                 X, t, resid = tri_chain(G, iters)
                 Qk = jnp.matmul(P_loc, X, precision=_HI)
-                worst_resid = jnp.maximum(worst_resid, resid)
+                # one-behind: squared = estimated true residual
+                worst_resid = jnp.maximum(worst_resid, resid * resid)
             R = R.at[lam : lam + r, lam : lam + r].set(t)
             Qbuf = Qbuf.at[:, lam : lam + r].set(Qk)
             if lam + r < g_end:
@@ -452,7 +457,7 @@ def _dist_bgs_scan_local(
             from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
 
             def chain(G, iters, refine=False):
-                return ns_chain(G, iters=iters, refine=refine)
+                return ns_chain(G, iters=iters, refine=refine, omega=False)
         else:
             from mixedprecisionblockqr_tpu.ops.polar import (
                 _tri_refine,
@@ -468,7 +473,8 @@ def _dist_bgs_scan_local(
                     resid = jnp.max(jnp.abs(
                         M - jnp.eye(r, dtype=jnp.float32)))
                 else:
-                    X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
+                    X, resid = tri_inv_chol(G, iters=iters, with_resid=True,
+                                            omega=False)
                 t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
                 return X, t, resid
 
@@ -507,7 +513,9 @@ def _dist_bgs_scan_local(
             X, resid = tri_inv_chol(G, iters=iters, with_resid=True)
             t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
         Qk = jnp.matmul(P_loc, X, precision=_HI)
-        return Qk, t, resid
+        # one-behind correction: squared = estimated true residual
+        # (ops/pallas/ns.py::_bgs_group_kernel convention)
+        return Qk, t, resid * resid
 
     q_dtype = policy.q_store or policy.accum
     A_loc = A_loc.astype(policy.panel)

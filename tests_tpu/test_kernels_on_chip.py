@@ -174,12 +174,14 @@ def test_chain_mid_parity_on_chip():
     assert float(resid_m) < 1e-4, float(resid_m)
 
 
-def test_chain_cheap_trips_canary_on_chip():
-    """The SEEDED Mosaic-precision regression (round-3 VERDICT item 4):
-    single-pass-bf16 NS chains (chain_cheap) pass interpret mode but
-    diverge on compiled Mosaic — the NaN canary must fire on chip.  If
-    this ever starts converging, the 'never default chain_cheap' rule in
-    CLAUDE.md needs re-evaluation."""
+def test_chain_cheap_converges_with_omega_on_chip():
+    """Round-4 recorded chain_cheap (single-pass bf16 NS iterations) as a
+    hard negative: interpret passed, compiled Mosaic NaN'd — this test
+    asserted the canary FIRES.  The round-5b omega=1.5 burst changed the
+    iteration's dynamics and chain_cheap now converges on chip (backward
+    2.4e-3 / orth 0.081, tight gate passes).  Pin the NEW behavior: if
+    this NaNs again, the omega protection regressed."""
+    from mixedprecisionblockqr_tpu.ops import metrics
     from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
     from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
 
@@ -190,9 +192,35 @@ def test_chain_cheap_trips_canary_on_chip():
             on_tpu=True, reorth=False, robust_tail=1, chain_cheap=True,
         )
     )(jnp.asarray(a))
+    assert bool(jnp.isfinite(R[0, 0])), (
+        "chain_cheap NaN'd on chip again — the omega=1.5 protection "
+        "(ops/polar.py::ns_omega_iters) regressed"
+    )
+    rep = metrics.evaluate(a, np.asarray(Q, np.float32),
+                           np.asarray(R, np.float32), precision_bits=8)
+    assert rep.all_ok and rep.tight_ok, str(rep)
+
+
+def test_hostile_cond_trips_canary_on_chip():
+    """The canary-trip coverage the chain_cheap seed used to provide: a
+    cond-1e7 Bierlaire draw genuinely breaks the one-pass Gram tier
+    (orth ~0.5 measured with the canary disabled) and the poison must
+    fire ON CHIP — compiled-Mosaic residual plumbing included."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    a = conditioned_matrix(512, condition_number=1e7, seed=7).astype(
+        np.float32
+    )
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 64, POLICY_MIXED_FAST, True, None, group_panels=8,
+            on_tpu=True, reorth=False, chain_mid=True,
+        )
+    )(jnp.asarray(a))
     assert not bool(jnp.isfinite(R[0, 0])), (
-        "chain_cheap converged on chip — the round-4 negative result no "
-        "longer holds; re-calibrate"
+        "cond-1e7 draw did not poison on chip — canary coverage lost"
     )
 
 
@@ -336,3 +364,30 @@ def test_dist_bgs_shardmap_d1_on_chip():
     rep = M.evaluate(a, np.asarray(Q, np.float32), np.asarray(R, np.float32),
                      precision_bits=23)
     assert rep.backward < 1e-5, str(rep)
+
+
+def test_conditioned_no_false_poison_on_chip():
+    """Round-5b omega fix ON CHIP: a cond-1e3 Bierlaire draw (realistic
+    SLAM-Jacobian conditioning) must complete on the fast tier — no
+    canary — and pass the acceptance criteria (compiled Mosaic, not
+    interpret: the omega dynamics must hold under real MXU rounding)."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    a = conditioned_matrix(512, condition_number=1e3, seed=7).astype(
+        np.float32
+    )
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 64, POLICY_MIXED_FAST, True, None, group_panels=8,
+            on_tpu=True, reorth=False, chain_mid=True,
+        )
+    )(jnp.asarray(a))
+    assert bool(jnp.isfinite(R[0, 0])), (
+        "canary false-fired on a cond-1e3 draw on chip"
+    )
+    rep = metrics.evaluate(a, np.asarray(Q, np.float32),
+                           np.asarray(R, np.float32), precision_bits=8)
+    assert rep.all_ok, str(rep)
