@@ -971,10 +971,13 @@ def _block_qr_bgs(
                     ).astype(Pbuf.dtype)
             R = R.at[:lam_g, lam_g:g_end].add(C2)
         robust_js = tuple(j >= nb - n_robust for j in js)
-        # tail_spill routes robust chains through the store-back variant
-        # (ops/pallas/ns.py::_robust_spill) whose VMEM liveness fits past
-        # the m <= 3072 robust-group cap.
-        if use_group and (not any(robust_js) or m0 <= 3072 or tail_spill):
+        # Robust-tail groups run in-kernel at ANY m the quota admits
+        # (round-5b): the historic m <= 3072 robust-group cap was the
+        # 16 MB Mosaic scoped-vmem default, which bgs_group_fused now
+        # raises per-kernel for exactly these cases (measured at 4096^2:
+        # compiles, +3% over the per-panel fallback, identical quality —
+        # experiments/r5_group4096.jsonl).
+        if use_group:
             # Whole group in one kernel: factorizations, eager projections
             # and the group's R block all inside VMEM.  Tail panels keep
             # the in-kernel shifted three-pass chain when m is small

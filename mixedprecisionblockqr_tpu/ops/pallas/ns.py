@@ -712,6 +712,20 @@ def bgs_group_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         input_output_aliases={0: 0},
+        # Mosaic's default scoped-VMEM stack is 16 MB — a SOFT compiler
+        # default, not the hardware (v5e has 128 MB VMEM).  The robust
+        # tail chain's live m x r intermediates hit 19.6 MB at m=4096/g4
+        # (the historic OOM behind the m <= 3072 robust-group cap; the
+        # store-back tail_spill variant did NOT reduce it — Mosaic's
+        # stack allocator doesn't exploit ref round-trips).  Raise the
+        # per-kernel limit for exactly those cases (scoped: an
+        # unconditionally raised limit would let XLA's VMEM scheduler
+        # assume less headroom around the small kernels too).
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if m > 3072 and (any(robust) or m * w * 4 > 8 * 2**20)
+            else None
+        ),
         interpret=interpret,
     )(Pg.astype(jnp.float32))
     return Qg, Rg, resid[0, 0]

@@ -258,11 +258,11 @@ def test_grouped_scan_bgs_on_chip():
 
 
 def test_group_vmem_boundary_3072_on_chip():
-    """m=3072 is the LAST size whose robust-tail chain still fits the
-    Mosaic scoped-VMEM stack inside ``bgs_group_fused`` (driver gate
-    ``m0 <= 3072`` at ops/blockqr.py; measured OOM 19.12 MB at m=4096/g4).
-    The whole group — tail panel included — must compile and factor
-    in-kernel at this boundary."""
+    """m=3072 is the LAST size whose robust-tail chain fits the DEFAULT
+    16 MB Mosaic scoped-VMEM stack inside ``bgs_group_fused`` (measured
+    OOM 19.6 MB at m=4096/g4).  The whole group — tail panel included —
+    must compile and factor in-kernel here WITHOUT the raised per-kernel
+    limit (bgs_group_fused only lifts it for m > 3072 robust groups)."""
     from mixedprecisionblockqr_tpu.ops import metrics as M
     from mixedprecisionblockqr_tpu.ops.blockqr import (
         _block_qr_bgs,
@@ -284,11 +284,12 @@ def test_group_vmem_boundary_3072_on_chip():
 
 
 def test_group_vmem_boundary_4096_fallback_on_chip():
-    """One size past the boundary: at m=4096 the group kernel still serves
-    CLEAN groups (8 MB buffer fits the 10 MB quota) but any group holding
-    a robust tail panel must fall back to the per-panel chain kernels —
-    the compile-time scoped-vmem OOM this guards is invisible to
-    interpret mode.  Success = compiles AND the quality triple passes."""
+    """One size past the default-stack boundary: at m=4096 robust-tail
+    groups now run IN-KERNEL under the raised per-kernel scoped-VMEM
+    limit (round-5b; the historic fallback routed them to per-panel
+    chain kernels).  The compile-time scoped-vmem OOM this guards is
+    invisible to interpret mode.  Success = compiles AND the quality
+    triple passes."""
     from mixedprecisionblockqr_tpu.ops import metrics as M
     from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
     from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
