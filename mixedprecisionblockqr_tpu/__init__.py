@@ -68,6 +68,7 @@ from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr, tsqr_batched, tsqr_sha
 from mixedprecisionblockqr_tpu.parallel.dist_qr import dist_block_qr
 from mixedprecisionblockqr_tpu.parallel.caqr import caqr
 from mixedprecisionblockqr_tpu.models.lstsq import (
+    lstsq_autodiff,
     back_substitution,
     lstsq,
     lstsq_pivoted,
@@ -110,6 +111,7 @@ __all__ = [
     "block_recursive_qr",
     "cholesky_qr2",
     "qr_autodiff",
+    "lstsq_autodiff",
     "make_differentiable_qr",
     "dist_block_qr",
     "qr",

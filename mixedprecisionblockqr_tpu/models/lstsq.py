@@ -326,3 +326,36 @@ def rls_update(state: RLSState, rows, betas) -> RLSState:
 def rls_solve(state: RLSState, block_size: int = 64) -> jax.Array:
     """Current least-squares solution of everything folded in so far."""
     return back_substitution(state.R, state.qtb, block_size=block_size)
+
+
+def lstsq_autodiff(
+    A: jax.Array,
+    b: jax.Array,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    policy: DTypePolicy = POLICY_FP32,
+):
+    """Differentiable least squares: ``x = argmin ||Ax - b||`` with
+    reverse-mode gradients in A and b.
+
+    The forward pass runs ``qr_autodiff`` (any blocked driver under a
+    custom VJP — ops/autodiff.py) followed by a triangular solve, so the
+    whole map is a composition JAX can differentiate: the QR adjoint plus
+    the solve's own VJP.  Use inside jitted training/calibration loops
+    (e.g. differentiating a Gauss-Newton inner solve w.r.t. Jacobian
+    parameters — the bilevel pattern the forward-only ``lstsq`` cannot
+    trace).  Requires full column rank (the thin-QR differentiability
+    domain); for rank-deficient systems use ``lstsq_pivoted`` (forward
+    only).
+
+    Unlike ``lstsq`` this materializes reduced Q (m x n) — gradients need
+    it; solve cost is one extra GEMM over the Q-free path.
+    """
+    from mixedprecisionblockqr_tpu.ops.autodiff import qr_autodiff
+
+    Q, R = qr_autodiff(A, block_size=block_size, policy=policy,
+                       panel_method="auto")
+    qtb = jnp.matmul(Q.T.astype(jnp.float32), b.astype(jnp.float32),
+                     precision=_HI)
+    return jax.scipy.linalg.solve_triangular(
+        R[: A.shape[1], :].astype(jnp.float32), qtb, lower=False
+    )

@@ -144,3 +144,34 @@ def test_grad_under_jit_and_mixed_policy():
     np.testing.assert_allclose(
         np.asarray(g), 2 * np.asarray(A), rtol=5e-2, atol=5e-2
     )
+
+
+def test_lstsq_autodiff_end_to_end():
+    """mpq.lstsq_autodiff: gradients in (A, b) match the jnp.linalg.qr
+    composition, and the solution matches the forward-only lstsq."""
+    import mixedprecisionblockqr_tpu as mpq
+
+    rng = np.random.default_rng(13)
+    A = jnp.asarray(rng.standard_normal((48, 32)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((48,)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
+
+    x = mpq.lstsq_autodiff(A, b, block_size=16)
+    x_ref = np.linalg.lstsq(np.asarray(A, np.float64),
+                            np.asarray(b, np.float64), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3, atol=1e-3)
+
+    def loss(A, b):
+        return jnp.sum((mpq.lstsq_autodiff(A, b, block_size=16) - t) ** 2)
+
+    def loss_ref(A, b):
+        Q, R = jnp.linalg.qr(A, mode="reduced")
+        x = jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+        return jnp.sum((x - t) ** 2)
+
+    gA, gb = jax.grad(loss, argnums=(0, 1))(A, b)
+    gA_r, gb_r = jax.grad(loss_ref, argnums=(0, 1))(A, b)
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gA_r),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_r),
+                               rtol=2e-3, atol=2e-3)
