@@ -73,8 +73,8 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
         "--quality", default=None,
         choices=["fast", "balanced", "high", "robust"],
         help="speed/orthogonality ladder for --panel-method auto "
-             "(2048^2 mixed: fast ~300us/orth 7.5e-2, balanced ~721us/"
-             "5.7e-4, high ~906us/3.4e-5, robust = Householder-grade)",
+             "(2048^2 mixed: fast ~270us/orth 7.7e-2, balanced ~762us/"
+             "4.9e-6, high ~936us/1.0e-6, robust = Householder-grade)",
     )
     p.add_argument("--log-dir", default="log")
 

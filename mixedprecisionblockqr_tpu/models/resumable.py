@@ -151,7 +151,8 @@ def block_qr_resumable(
 
     Qbuf, R, QtB, worst_resid = carry
     R_full, Q, _ = _bgs_scan_finalize(
-        m, n, policy, True, B is not None, Qbuf, R, QtB, worst_resid
+        m, n, policy, True, B is not None, Qbuf, R, QtB, worst_resid,
+        reorth=reorth,
     )
     return Q, R_full
 

@@ -82,17 +82,20 @@ def check_policy_method(policy: DTypePolicy, panel_method: str) -> None:
         )
 
 
-#: The measured quality ladder at 2048^2 mixed (BENCH_NOTES round-4):
-#:   'fast'     -> bgs1  ~300us, orth ~7.5e-2 (single-pass bf16 projections)
-#:   'balanced' -> bgs2  ~721us, orth ~5.7e-4 (HIGH reorth scrub)
-#:   'high'     -> bgs   ~906us, orth ~3.4e-5 (HIGHEST reorth scrub)
+#: The measured quality ladder at 2048^2 mixed (BENCH_NOTES round-5c —
+#: after the corner-leak rescrub + fp32-Q return for the reorth tiers):
+#:   'fast'     -> bgs1  ~270us, orth ~7.7e-2 (single-pass bf16
+#:                 projections, compact bf16 Q)
+#:   'balanced' -> bgs2  ~762us, orth ~4.9e-6 (HIGH reorth scrub, fp32 Q)
+#:   'high'     -> bgs   ~936us, orth ~1.0e-6 (HIGHEST scrub, fp32 Q)
 #:   'robust'   -> householder (unconditionally Householder-grade)
 #: Scale note (fp32 policies): 'fast' single-pass inter-group CGS drift
 #: GROWS with n/r and crosses the 2^-23*m orthogonality criterion around
 #: 16384^2 (measured 4.0e-3 vs limit 1.95e-3 — BENCH_NOTES round-5 dist
-#: cert); 'balanced'+ scrub it back (bgs2 at 16384^2: 8.0e-5).  The fp32
-#: DEFAULT is 'high', so only an explicit quality='fast' opts into the
-#: drift; mixed/bf16 criteria (2^-8*m) are never binding there.
+#: cert); 'balanced'+ scrub it back (bgs2 at 16384^2: 8.0e-5 pre-rescrub,
+#: fp32-roundoff class after).  The fp32 DEFAULT is 'high', so only an
+#: explicit quality='fast' opts into the drift; mixed/bf16 criteria
+#: (2^-8*m) are never binding there.
 QUALITY_LEVELS = ("fast", "balanced", "high", "robust")
 _QUALITY_BGS = {"fast": "bgs1", "balanced": "bgs2", "high": "bgs"}
 
@@ -162,9 +165,9 @@ def resolve_panel_config(
             if max(m, n) > 12288:
                 loop_mode = "scan"
         elif quality in ("balanced", "high"):
-            # Mixed/bf16 ladder rungs (BENCH_NOTES round-4, 2048^2 mixed):
-            # bgs2 721us/orth 5.7e-4, bgs 906us/3.4e-5 — vs bgs1's
-            # ~300us/7.5e-2.  Same size->loop/group map as the fast rung.
+            # Mixed/bf16 ladder rungs (BENCH_NOTES round-5c, 2048^2 mixed):
+            # bgs2 762us/orth 4.9e-6, bgs 936us/1.0e-6 — vs bgs1's
+            # ~270us/7.7e-2.  Same size->loop/group map as the fast rung.
             panel_method = _QUALITY_BGS[quality]
             if max(m, n) <= 3072:
                 group_panels = 8
@@ -941,6 +944,33 @@ def _block_qr_bgs(
     qtb = [] if B is not None else None
     qcols = []
 
+    rescrub_prec = jax.lax.Precision.HIGH if mid_tier else _HI
+
+    def _tail_rescrub(Qpre, qk, t):
+        # Post-FACTORIZATION BCGS2 pass for the robust tail panels
+        # (round-5b ladder-floor isolation, experiments/r5_ladder_floor
+        # .jsonl): the group-start scrub runs before factorization, and
+        # the ill-conditioned trailing-corner factorization then amplifies
+        # the second-pass leftovers by its column-norm ratio (~kappa of
+        # the corner) — measured at 1024^2 fp32 'high': every Q^T Q block
+        # sits at fp32 roundoff (~1e-7) EXCEPT the robust panel's cross
+        # terms, uniformly ~5e-5 against every previous panel, and extra
+        # NS iterations cannot move it.  One projection of the FINISHED
+        # panel Q plus a tiny refactorization of the (nearly orthonormal)
+        # remainder removes it exactly:  qk t = q2 (s t) + Qpre (W t), so
+        # R gains W t above the diagonal block and s t replaces it.
+        qf = qk.astype(jnp.float32)
+        W = jnp.matmul(Qpre.T, qf, precision=rescrub_prec,
+                       preferred_element_type=jnp.float32)
+        q2 = qf - jnp.matmul(Qpre, W, precision=rescrub_prec,
+                             preferred_element_type=jnp.float32)
+        q2, s, _, rs = tri_cholqr(q2, iters=4, sign_fix=False,
+                                  gram_precision=_HI, check=False,
+                                  return_resid=True)
+        t32 = t.astype(jnp.float32)
+        return (q2, jnp.matmul(s, t32, precision=_HI),
+                jnp.matmul(W, t32, precision=_HI), rs)
+
     i = 0
     while i < nb:
         lam_g = i * r
@@ -1012,6 +1042,21 @@ def _block_qr_bgs(
             )
             worst_resid = jnp.maximum(worst_resid, resid)
             R = R.at[lam_g:g_end, lam_g:g_end].set(Rg)
+            if reorth and any(robust_t):
+                k0 = robust_t.index(True) * r
+                rob0 = lam_g + k0
+                if rob0 > 0:
+                    pre = ([jnp.concatenate(qcols, axis=1)] if qcols
+                           else []) + ([Qg[:, :k0]] if k0 else [])
+                    Qpre = (pre[0] if len(pre) == 1
+                            else jnp.concatenate(pre, axis=1))
+                    q2, t2, dW, rs = _tail_rescrub(
+                        Qpre, Qg[:, k0:], Rg[k0:, k0:])
+                    worst_resid = jnp.maximum(worst_resid, rs * rs)
+                    R = R.at[:rob0, rob0:g_end].add(dW)
+                    R = R.at[rob0:g_end, rob0:g_end].set(t2)
+                    Qg = (jnp.concatenate([Qg[:, :k0], q2], axis=1)
+                          if k0 else q2)
             if B is not None:
                 qtb.append(mm_t(Qg.T, B))
             qcols.append(Qg)
@@ -1048,6 +1093,12 @@ def _block_qr_bgs(
                         P, sign_fix=False, return_resid=True
                     )
                 worst_resid = jnp.maximum(worst_resid, 0.01 * rresid)
+                if reorth and qcols:
+                    q2, t, dW, rs = _tail_rescrub(
+                        jnp.concatenate(qcols, axis=1), Qk, t)
+                    worst_resid = jnp.maximum(worst_resid, rs * rs)
+                    R = R.at[:lam, lam : lam + r].add(dW)
+                    Qk = q2
             elif use_fused:
                 Qk, t, resid = panel_qr_fused(
                     P,
@@ -1109,7 +1160,13 @@ def _block_qr_bgs(
         if m > n else R
     )
     R_full = jnp.triu(R_full.astype(policy.accum))
-    q_dtype = policy.q_store or policy.accum
+    # Reorth tiers ('bgs'/'bgs2', the quality-ladder rungs) return Q at
+    # accumulation precision: their whole point is orthogonality, and a
+    # bf16 Q residency rounds every entry to 2^-9 — max|Q^T Q - I| lands
+    # exactly at the bf16 STORAGE floor (~4.4e-4 at 2048, measured) no
+    # matter how precise the scrub was.  The compact q_store residency is
+    # the bgs1 traffic lever; the ladder pays fp32 output for its quality.
+    q_dtype = policy.accum if reorth else (policy.q_store or policy.accum)
     Q = jnp.concatenate(qcols, axis=1).astype(q_dtype) if want_q else None
     Bout = jnp.concatenate(qtb, axis=0) if B is not None else None
 
@@ -1177,7 +1234,7 @@ def _block_qr_bgs_scan(
     Qbuf, R, QtB, worst_resid = jax.lax.fori_loop(0, nsteps, step, carry0)
     return _bgs_scan_finalize(
         A.shape[0], A.shape[1], policy, want_q, B is not None,
-        Qbuf, R, QtB, worst_resid,
+        Qbuf, R, QtB, worst_resid, reorth=reorth,
     )
 
 
@@ -1268,6 +1325,29 @@ def _bgs_scan_machinery(
         else 1
     )
     gw = g * r
+    n_steps = nb // g
+
+    def _tail_rescrub(Qbuf, Qk, t):
+        # Post-factorization BCGS2 pass for the trailing-corner panels —
+        # the scan-tier mirror of ``_block_qr_bgs._tail_rescrub`` (see the
+        # derivation there: the pre-factorization scrub's leftovers get
+        # amplified by the corner's column-norm ratio; measured orth
+        # 1.1e-5 scan-bgs / 5.4e-5 scan-bgs2 at 1024^2 fp32 with every
+        # other block at roundoff).  Unwritten Qbuf columns are zero, so
+        # W rows beyond the current panel are exactly zero and the fold
+        # ``Qk t = q2 (s t) + Qbuf (W t)`` stays upper triangular.
+        qf = Qk.astype(jnp.float32)
+        W = jnp.matmul(Qbuf.T, qf, precision=_HI,
+                       preferred_element_type=jnp.float32)
+        q2 = qf - jnp.matmul(Qbuf, W, precision=_HI,
+                             preferred_element_type=jnp.float32)
+        from mixedprecisionblockqr_tpu.ops.polar import tri_cholqr
+        q2, s, _, rs = tri_cholqr(q2, iters=4, sign_fix=False,
+                                  gram_precision=_HI, check=False,
+                                  return_resid=True)
+        t32 = t.astype(jnp.float32)
+        return (q2.astype(qf.dtype), jnp.matmul(s, t32, precision=_HI),
+                jnp.matmul(W[:n, :], t32, precision=_HI), rs)
 
     def step(k, carry):
         Qbuf, R, QtB, wr = carry
@@ -1293,6 +1373,22 @@ def _bgs_scan_machinery(
             P = Cg[:, j * r : (j + 1) * r]
             Qk, t, resid = _panel(P)
             wr = jnp.maximum(wr, 0.01 * resid)  # robust panels: 1e-2 tol
+            if reorth:
+                # Rescrub the LAST step's panels only (lax.cond: compiled
+                # once, executed on the final iteration) — the corner is
+                # where the amplification lives, so the whole-run cost is
+                # ~one extra Qbuf double-pass, not one per panel.
+                Qk, t, dW, rs = jax.lax.cond(
+                    k == n_steps - 1,
+                    lambda a: _tail_rescrub(Qbuf, *a),
+                    lambda a: (a[0].astype(jnp.float32),
+                               a[1].astype(jnp.float32),
+                               jnp.zeros((n, r), jnp.float32),
+                               jnp.float32(0.0)),
+                    (Qk, t),
+                )
+                wr = jnp.maximum(wr, rs * rs)
+                Rcol = Rcol.at[:, j * r : (j + 1) * r].add(dW)
             Qbuf = jax.lax.dynamic_update_slice(
                 Qbuf, Qk.astype(qbuf_dtype), (0, lam_g + j * r)
             )
@@ -1331,6 +1427,7 @@ def _bgs_scan_finalize(
     R,
     QtB,
     worst_resid,
+    reorth: bool = True,
 ):
     """Close a scan-BGS carry into the public (R_full, Q, B) triple —
     shared by the one-shot and resumable drivers."""
@@ -1339,9 +1436,11 @@ def _bgs_scan_finalize(
         if m > n else R
     )
     R_full = jnp.triu(R_full.astype(policy.accum))
-    # Reorth tiers carry Qbuf fp32 through the loop; the policy's compact
-    # Q residency (q_store) applies on return only.
-    q_dtype = policy.q_store or policy.accum
+    # Reorth tiers carry Qbuf fp32 through the loop AND return it fp32:
+    # a bf16 return residency would round Q to the ~4.4e-4 storage floor
+    # (see _block_qr_bgs), wasting the scrub.  bgs1 keeps the compact
+    # q_store residency (its traffic lever).
+    q_dtype = policy.accum if reorth else (policy.q_store or policy.accum)
     Q = Qbuf.astype(q_dtype) if want_q else None
     Bout = QtB if with_b else None
     R_full, Q, Bout = _poison_if_unconverged(worst_resid, R_full, Q, Bout)
@@ -1450,10 +1549,11 @@ def block_qr(
         group_panels: reflector/projection aggregation factor — trailing
             matrix / B / Q are each touched once per group.
         quality: speed/orthogonality ladder knob for ``panel_method='auto'``
-            (requires it): 'fast' ~7.5e-2 orth at 2048^2-mixed (~300us),
-            'balanced' ~5.7e-4 (~721us), 'high' ~3.4e-5 (~906us),
-            'robust' = Householder-grade for hostile spectra.  Measured
-            ladder: BENCH_NOTES.md round-4.
+            (requires it): 'fast' ~7.7e-2 orth at 2048^2-mixed (~270us,
+            compact bf16 Q), 'balanced' ~4.9e-6 (~762us, fp32 Q),
+            'high' ~1.0e-6 (~936us, fp32 Q), 'robust' =
+            Householder-grade for hostile spectra.  Measured ladder:
+            BENCH_NOTES.md round-5c.
         check: NaN-canary handling for the Newton-Schulz tiers, which
             poison R[0,0]/Q[0,0] when a panel under-converges
             (``_poison_if_unconverged``):
@@ -1654,9 +1754,9 @@ def qr(
     (``Cuda/main.cu:11-26``); so do ours.
 
     ``quality`` exposes the measured speed/orthogonality ladder without
-    method strings — 2048^2 mixed: 'fast' ~300us / orth 7.5e-2 (default),
-    'balanced' ~721us / 5.7e-4, 'high' ~906us / 3.4e-5, 'robust' =
-    Householder-grade.  ``check='sync'`` opts into the blocking NaN-canary
+    method strings — 2048^2 mixed: 'fast' ~270us / orth 7.7e-2 (default,
+    compact bf16 Q), 'balanced' ~762us / 4.9e-6 (fp32 Q), 'high' ~936us /
+    1.0e-6 (fp32 Q), 'robust' = Householder-grade.  ``check='sync'`` opts into the blocking NaN-canary
     fetch + transparent robust retry (see ``block_qr``); the default
     'defer' never blocks the dispatch pipeline."""
     A = jnp.asarray(A)

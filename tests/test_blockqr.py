@@ -148,6 +148,27 @@ def test_mixed_fast_bf16_q_store():
     assert rep.all_ok, str(rep)
 
 
+def test_reorth_tiers_return_fp32_q_under_compact_policy():
+    """Q-dtype contract (round-5c): the quality-ladder reorth tiers
+    ('bgs'/'bgs2') return Q at ACCUMULATION precision even when the
+    policy requests a compact bf16 Q residency — a bf16 return rounds
+    every entry to 2^-9, pinning max|QtQ - I| at the bf16 STORAGE floor
+    (~4.4e-4 at 2048, measured) no matter how precise the scrub was.
+    The single-pass 'bgs1' tier keeps the compact residency (its
+    HBM-traffic lever)."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    A = _rand(256, 256, seed=11)
+    for pm, lm in (("bgs", "unroll"), ("bgs2", "unroll"),
+                   ("bgs", "scan"), ("bgs2", "scan")):
+        Q, _ = block_qr(A, block_size=64, policy=POLICY_MIXED_FAST,
+                        mode="complete", panel_method=pm, loop_mode=lm)
+        assert Q.dtype == jnp.float32, (pm, lm, Q.dtype)
+    Q, _ = block_qr(A, block_size=64, policy=POLICY_MIXED_FAST,
+                    mode="complete", panel_method="bgs1")
+    assert Q.dtype == jnp.bfloat16
+
+
 def test_block_qr_scan_mode():
     """Single-chip scan mode: one fori_loop panel step + static Householder
     final panel; must match the unrolled path's quality."""
@@ -249,6 +270,29 @@ def test_block_qr_bgs2_scan_grouped_kills_intergroup_drift():
     assert orth["bgs2"] < 0.5 * orth["bgs1"], orth
 
 
+def test_tail_rescrub_kills_corner_leak():
+    """The reorth tiers' post-factorization rescrub (round-5b ladder-floor
+    isolation, experiments/r5_ladder_floor.jsonl): the group-start BCGS2
+    scrub runs BEFORE factorization, and the ill-conditioned trailing
+    corner amplifies its leftovers by ~kappa — every Q^T Q block sat at
+    fp32 roundoff EXCEPT the robust tail panel's cross terms (~5e-5
+    uniformly at 1024^2; extra NS iterations cannot move it).  The
+    rescrub projects the FINISHED panel Q once more and refolds exactly
+    (qk t = q2 (s t) + Qprev (W t)).  Pre-fix this 512^2 case measured
+    orth 1.2e-5 unrolled / 3.8e-6 scan-bgs / 2.0e-5 scan-bgs2 — all past
+    the 2^-23*sqrt(m) = 2.7e-6 tight gate; post-fix all reach ~1e-6."""
+    a = _rand(512, 512, seed=0) - 0.5
+    for pm, lm in (("bgs", "unroll"), ("bgs", "scan"), ("bgs2", "scan")):
+        Q, R = block_qr(jnp.asarray(a), 128, POLICY_FP32, mode="complete",
+                        panel_method=pm, loop_mode=lm, group_panels=4)
+        rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                               precision_bits=23)
+        assert rep.all_ok, f"{pm}/{lm}: {rep}"
+        assert rep.tight_ok, (
+            f"{pm}/{lm}: orth {rep.orthogonality:.2e} must meet the "
+            f"fp32 tight gate (corner-leak rescrub regression)")
+
+
 def test_block_qr_bgs_mixed_group_and_perpanel_groups():
     """Regression: when group-kernel groups PRECEDE a per-panel group that
     still has trailing columns (m > 3072 sends robust-tail groups through
@@ -285,13 +329,17 @@ def test_block_qr_scan_reorth_mixed_policy_orth(pm):
     q_store (round-3 ADVICE item 2, extended to the scan drivers —
     pre-fix this exact 512^2 case measured orth 9.2e-3 (bgs) / 5.2e-2
     (bgs2) and bf16-class backward 1.6e-3; post-fix 1.1e-6 / 6.2e-6 with
-    fp32-class backward).  MIXED_FAST's bf16-resident returned Q
-    quantizes QtQ to ~7.8e-4."""
+    fp32-class backward).  Round-5c: reorth tiers now RETURN Q fp32 too —
+    MIXED_FAST's bf16 return residency used to quantize QtQ to ~7.8e-4
+    (the bf16 STORAGE floor), wasting the scrub, so BOTH policies must
+    land in the same fp32 class (measured here: 4.8e-7 bgs2 / 3.6e-7
+    bgs, backward 3.1e-7 — the scan reorth tiers run the whole loop
+    fp32)."""
     from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
 
     a = _rand(512, 512, seed=25) - 0.5
-    for pol, lim, blim in ((POLICY_MIXED, 1e-4, 1e-5),
-                           (POLICY_MIXED_FAST, 3e-3, 5e-3)):
+    for pol, lim, blim in ((POLICY_MIXED, 1e-5, 1e-5),
+                           (POLICY_MIXED_FAST, 1e-5, 1e-5)):
         Q, R = block_qr(jnp.asarray(a), 64, pol, mode="complete",
                         panel_method=pm, loop_mode="scan", group_panels=4)
         orth = float(metrics.orthogonality_error(np.asarray(Q, np.float32)))

@@ -516,15 +516,17 @@ def test_dist_scan_reorth_mixed_policy_orth(mesh, pm):
     the unrolled driver was fixed for — before the fix the scan scrub ran
     at policy.trailing against a q_store-resident Qbuf and measured orth
     1.5e-2 (bgs) / 8.3e-2 (bgs2) at this exact 512^2 case; the fix gives
-    1.2e-6 / 1.1e-5).  MIXED_FAST's returned-Q bf16 residency quantizes
-    QtQ to ~6.7e-4 — still 20-100x under the broken mode."""
+    1.2e-6 / 1.1e-5).  Round-5c: reorth tiers now RETURN Q fp32 too —
+    MIXED_FAST's bf16 return residency used to quantize QtQ to ~6.7e-4
+    (the bf16 STORAGE floor), wasting the fp32 scrub, so both policies
+    must now land in the same fp32 class."""
     from mixedprecisionblockqr_tpu.ops.policy import (
         POLICY_MIXED,
         POLICY_MIXED_FAST,
     )
 
     A = np.random.default_rng(16).random((512, 512)).astype(np.float32) - 0.5
-    for pol, lim in ((POLICY_MIXED, 1e-4), (POLICY_MIXED_FAST, 3e-3)):
+    for pol, lim in ((POLICY_MIXED, 1e-4), (POLICY_MIXED_FAST, 1e-4)):
         Q, R = dist_block_qr(A, mesh, block_size=32, mode="reduced",
                              panel_method=pm, loop_mode="scan",
                              group_panels=4, policy=pol)
@@ -533,6 +535,27 @@ def test_dist_scan_reorth_mixed_policy_orth(mesh, pm):
         rep = metrics.evaluate(A, np.asarray(Q, np.float32), np.asarray(R),
                                precision_bits=8)
         assert rep.backward_ok, (pm, str(rep))
+
+
+def test_dist_tail_rescrub_tight_gate(mesh):
+    """The dist reorth tiers' post-factorization rescrub (the distributed
+    mirror of the single-chip corner-leak fix — see ops/blockqr.py::
+    _block_qr_bgs._tail_rescrub): the pre-factorization BCGS2 scrub's
+    leftovers are amplified by the trailing corner's conditioning, leaving
+    the final panels' cross terms ~kappa*eps above roundoff (the 16384^2
+    CPU-mesh cert's 8.0e-5 orth floor was exactly this).  Post-fix all
+    three dist reorth tiers reach the fp32 TIGHT gate 2^-23*sqrt(m)."""
+    a = np.random.default_rng(0).random((512, 512)).astype(np.float32) - 0.5
+    for pm, lm in (("bgs", "unroll"), ("bgs", "scan"), ("bgs2", "scan")):
+        Q, R = dist_block_qr(a, mesh, block_size=64, mode="reduced",
+                             panel_method=pm, loop_mode=lm, group_panels=4,
+                             policy=POLICY_FP32)
+        rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                               precision_bits=23)
+        assert rep.all_ok, f"{pm}/{lm}: {rep}"
+        assert rep.tight_ok, (
+            f"{pm}/{lm}: orth {rep.orthogonality:.2e} must meet the fp32 "
+            f"tight gate (corner-leak rescrub regression)")
 
 
 def test_dist_quality_ladder(mesh):
