@@ -964,9 +964,16 @@ def _block_qr_bgs(
                        preferred_element_type=jnp.float32)
         q2 = qf - jnp.matmul(Qpre, W, precision=rescrub_prec,
                              preferred_element_type=jnp.float32)
-        q2, s, _, rs = tri_cholqr(q2, iters=4, sign_fix=False,
-                                  gram_precision=_HI, check=False,
-                                  return_resid=True)
+        # Refactorize the nearly-orthonormal remainder via the FUSED NS
+        # kernel (one Mosaic dispatch; the XLA tri_cholqr chain here
+        # measured ~+110us at 1024^2 fp32 'high' — pure op-dispatch cost,
+        # the math is a 4-iteration r x r chain).  Same path as the dist
+        # mirror; interpret mode keeps CPU tests hermetic.
+        Gq = jnp.matmul(q2.T, q2, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        X, s, rs = ns_chain(Gq, iters=4, interpret=interp)
+        q2 = jnp.matmul(q2, X, precision=_HI,
+                        preferred_element_type=jnp.float32)
         t32 = t.astype(jnp.float32)
         return (q2, jnp.matmul(s, t32, precision=_HI),
                 jnp.matmul(W, t32, precision=_HI), rs)
@@ -1341,10 +1348,15 @@ def _bgs_scan_machinery(
                        preferred_element_type=jnp.float32)
         q2 = qf - jnp.matmul(Qbuf, W, precision=_HI,
                              preferred_element_type=jnp.float32)
-        from mixedprecisionblockqr_tpu.ops.polar import tri_cholqr
-        q2, s, _, rs = tri_cholqr(q2, iters=4, sign_fix=False,
-                                  gram_precision=_HI, check=False,
-                                  return_resid=True)
+        # Fused NS refactorization of the nearly-orthonormal remainder —
+        # one Mosaic dispatch instead of the XLA tri_cholqr chain (the
+        # dispatch cost matters even once per run; dist-mirror parity).
+        from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+        Gq = jnp.matmul(q2.T, q2, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        X, s, rs = ns_chain(Gq, iters=4, interpret=not on_tpu)
+        q2 = jnp.matmul(q2, X, precision=_HI,
+                        preferred_element_type=jnp.float32)
         t32 = t.astype(jnp.float32)
         return (q2.astype(qf.dtype), jnp.matmul(s, t32, precision=_HI),
                 jnp.matmul(W[:n, :], t32, precision=_HI), rs)
