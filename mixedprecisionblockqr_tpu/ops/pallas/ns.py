@@ -721,9 +721,16 @@ def bgs_group_fused(
         # per-kernel limit for exactly those cases (scoped: an
         # unconditionally raised limit would let XLA's VMEM scheduler
         # assume less headroom around the small kernels too).
+        # Condition notes: fp32-dot groups (the reorth tiers,
+        # bf16_dots=False) hold fp32 eager-projection temporaries — ~2x
+        # the bgs1 liveness, OOMing where bgs1 fits (measured 18.88M for
+        # a PLAIN fp32 group at 4096 x 512, whose m*w*4 is EXACTLY 8 MB —
+        # the old strict '>' test skipped the lift and the 'high' tier
+        # failed relay compile at 4096^2).
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if m > 3072 and (any(robust) or m * w * 4 > 8 * 2**20)
+            if m > 3072
+            and (any(robust) or not bf16_dots or m * w * 4 >= 8 * 2**20)
             else None
         ),
         interpret=interpret,

@@ -974,8 +974,10 @@ def dist_block_qr(
     ``qr(quality=...)`` — 'fast' -> bgs1 (single-pass CGS; inter-group
     drift grows with n/r and crosses the fp32 criterion near 16384^2),
     'balanced' -> bgs2 (grouped inter-group BCGS2 — the certified 16384^2
-    config), 'high' -> bgs (per-panel BCGS2), 'robust' -> householder
-    leaves.  Overrides ``panel_method`` when given.
+    config: orth 6.0e-7, fp32 roundoff, after the D9 corner-leak rescrub),
+    'high' -> bgs (per-panel BCGS2), 'robust' -> householder
+    leaves.  Reorth tiers return Q fp32 (see _dist_bgs_scan_local).
+    Overrides ``panel_method`` when given.
     """
     if quality is not None:
         from mixedprecisionblockqr_tpu.ops.blockqr import (

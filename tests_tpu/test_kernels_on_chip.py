@@ -392,3 +392,40 @@ def test_conditioned_no_false_poison_on_chip():
     rep = metrics.evaluate(a, np.asarray(Q, np.float32),
                            np.asarray(R, np.float32), precision_bits=8)
     assert rep.all_ok, str(rep)
+
+
+def test_quality_ladder_tight_gates_on_chip():
+    """Round-5c corner-leak rescrub + fp32-Q return ON CHIP: the public
+    quality ladder's reorth rungs must reach fp32-roundoff orthogonality
+    under compiled Mosaic (the rescrub's refactorization runs through the
+    fused NS kernel — interpret mode cannot certify it).  Pre-fix, fp32
+    'high' at this class of sizes measured orth ~5e-5 (the r5 ladder
+    floor) and mixed 'high' sat at the bf16 STORAGE floor (~4.4e-4):
+    both failed the tight 2^-23*sqrt(m) gate this test pins."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.blockqr import qr
+    from mixedprecisionblockqr_tpu.ops.policy import (
+        POLICY_FP32,
+        POLICY_MIXED_FAST,
+    )
+
+    a = np.random.default_rng(3).random((512, 512), np.float32) - 0.5
+    A = jnp.asarray(a)
+    tight = 2.0**-23 * np.sqrt(512)  # ~2.7e-6
+
+    Q, R = qr(A, policy=POLICY_FP32, mode="complete", quality="high",
+              check="defer")
+    rep = metrics.evaluate(a, np.asarray(Q, np.float32),
+                           np.asarray(R, np.float32), precision_bits=23)
+    assert rep.all_ok and rep.orthogonality < tight, str(rep)
+
+    for quality in ("balanced", "high"):
+        Q, R = qr(A, policy=POLICY_MIXED_FAST, mode="complete",
+                  quality=quality, check="defer")
+        assert Q.dtype == jnp.float32, (quality, Q.dtype)  # fp32-Q return
+        rep = metrics.evaluate(a, np.asarray(Q, np.float32),
+                               np.asarray(R, np.float32), precision_bits=8)
+        assert rep.all_ok, (quality, str(rep))
+        assert rep.orthogonality < 1e-5, (
+            f"{quality}: orth {rep.orthogonality:.2e} must beat the bf16 "
+            "storage floor by orders of magnitude (fp32-Q regression)")
