@@ -88,7 +88,15 @@ def check_policy_method(policy: DTypePolicy, panel_method: str) -> None:
 #:                 projections, compact bf16 Q)
 #:   'balanced' -> bgs2  ~762us, orth ~4.9e-6 (HIGH reorth scrub, fp32 Q)
 #:   'high'     -> bgs   ~936us, orth ~1.0e-6 (HIGHEST scrub, fp32 Q)
-#:   'robust'   -> householder (unconditionally Householder-grade)
+#:   'robust'   -> householder (unconditionally Householder-grade
+#:                 FACTORIZATION: R and backward error survive any
+#:                 spectrum.  NOTE: under compact-Q policies its returned
+#:                 Q stays policy-resident (bf16 -> the ~4.4e-4 storage
+#:                 floor) — the reflector driver accumulates Q in q_store
+#:                 throughout, so no final upcast could recover it.  For
+#:                 returned-Q ORTHOGONALITY under mixed policies use
+#:                 'high'; for both, use 'robust' with a non-compact
+#:                 policy, e.g. POLICY_MIXED.)
 #: Scale note (fp32 policies): 'fast' single-pass inter-group CGS drift
 #: GROWS with n/r and crosses the 2^-23*m orthogonality criterion around
 #: 16384^2 (measured 4.0e-3 vs limit 1.95e-3 — BENCH_NOTES round-5 dist
@@ -793,6 +801,53 @@ def _poison_if_unconverged(worst_resid, R_full, Q, B, tol: float = 1e-4):
     return R_full, Q, B
 
 
+def _rescrub_panel(Qpre, qk, t, *, on_tpu: bool, psum_axis=None):
+    """The corner-leak rescrub (docs/ALGORITHMS.md D9), shared by all four
+    BGS drivers (single-chip unrolled/scan, distributed unrolled/scan —
+    the dist mirrors pass ``psum_axis`` and every cross-device reduction
+    happens here, keeping the math literally identical across drivers).
+
+    The pre-factorization BCGS2 scrub leaves ``O(eps)`` components along
+    previous Q; the ill-conditioned trailing-corner factorization then
+    amplifies them by ~kappa(P) (measured: every Q^T Q block at fp32
+    roundoff EXCEPT the tail panel's cross terms, uniformly ~5e-5 at
+    1024^2 — more NS iterations cannot move it).  One projection of the
+    FINISHED panel plus a 4-iteration refactorization of the
+    nearly-orthonormal remainder folds exactly:
+
+        qk t = q2 (s t) + Qpre (W t)
+
+    so R gains ``W t`` above the diagonal block and ``s t`` replaces it.
+    All dots fp32 HIGHEST — the rescrub runs once per tail panel, so its
+    precision is not a throughput knob (an earlier HIGH variant on the
+    bgs2 rung saved ~nothing and forked the tiers' quality).
+
+    ``Qpre`` may contain zero columns (scan buffers): their W rows are
+    exactly zero, so the fold stays upper triangular.  Returns
+    ``(q2, s @ t, W @ t, resid)``.
+    """
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+    qf = qk.astype(jnp.float32)
+    Qp = Qpre.astype(jnp.float32)
+    W = jnp.matmul(Qp.T, qf, precision=_HI,
+                   preferred_element_type=jnp.float32)
+    if psum_axis is not None:
+        W = jax.lax.psum(W, psum_axis)
+    q2 = qf - jnp.matmul(Qp, W, precision=_HI,
+                         preferred_element_type=jnp.float32)
+    Gq = jnp.matmul(q2.T, q2, precision=_HI,
+                    preferred_element_type=jnp.float32)
+    if psum_axis is not None:
+        Gq = jax.lax.psum(Gq, psum_axis)
+    X, s, rs = ns_chain(Gq, iters=4, interpret=not on_tpu)
+    q2 = jnp.matmul(q2, X, precision=_HI,
+                    preferred_element_type=jnp.float32)
+    t32 = t.astype(jnp.float32)
+    return (q2, jnp.matmul(s, t32, precision=_HI),
+            jnp.matmul(W, t32, precision=_HI), rs)
+
+
 def _block_qr_bgs(
     A: jax.Array,
     block_size: int,
@@ -944,39 +999,12 @@ def _block_qr_bgs(
     qtb = [] if B is not None else None
     qcols = []
 
-    rescrub_prec = jax.lax.Precision.HIGH if mid_tier else _HI
-
-    def _tail_rescrub(Qpre, qk, t):
-        # Post-FACTORIZATION BCGS2 pass for the robust tail panels
-        # (round-5b ladder-floor isolation, experiments/r5_ladder_floor
-        # .jsonl): the group-start scrub runs before factorization, and
-        # the ill-conditioned trailing-corner factorization then amplifies
-        # the second-pass leftovers by its column-norm ratio (~kappa of
-        # the corner) — measured at 1024^2 fp32 'high': every Q^T Q block
-        # sits at fp32 roundoff (~1e-7) EXCEPT the robust panel's cross
-        # terms, uniformly ~5e-5 against every previous panel, and extra
-        # NS iterations cannot move it.  One projection of the FINISHED
-        # panel Q plus a tiny refactorization of the (nearly orthonormal)
-        # remainder removes it exactly:  qk t = q2 (s t) + Qpre (W t), so
-        # R gains W t above the diagonal block and s t replaces it.
-        qf = qk.astype(jnp.float32)
-        W = jnp.matmul(Qpre.T, qf, precision=rescrub_prec,
-                       preferred_element_type=jnp.float32)
-        q2 = qf - jnp.matmul(Qpre, W, precision=rescrub_prec,
-                             preferred_element_type=jnp.float32)
-        # Refactorize the nearly-orthonormal remainder via the FUSED NS
-        # kernel (one Mosaic dispatch; the XLA tri_cholqr chain here
-        # measured ~+110us at 1024^2 fp32 'high' — pure op-dispatch cost,
-        # the math is a 4-iteration r x r chain).  Same path as the dist
-        # mirror; interpret mode keeps CPU tests hermetic.
-        Gq = jnp.matmul(q2.T, q2, precision=_HI,
-                        preferred_element_type=jnp.float32)
-        X, s, rs = ns_chain(Gq, iters=4, interpret=interp)
-        q2 = jnp.matmul(q2, X, precision=_HI,
-                        preferred_element_type=jnp.float32)
-        t32 = t.astype(jnp.float32)
-        return (q2, jnp.matmul(s, t32, precision=_HI),
-                jnp.matmul(W, t32, precision=_HI), rs)
+    # Post-FACTORIZATION rescrub for the robust tail panels — the shared
+    # D9 helper (``_rescrub_panel``; round-5b ladder-floor isolation,
+    # experiments/r5_ladder_floor.jsonl).
+    _tail_rescrub = lambda Qpre, qk, t: _rescrub_panel(
+        Qpre, qk, t, on_tpu=on_tpu
+    )
 
     i = 0
     while i < nb:
@@ -1333,33 +1361,12 @@ def _bgs_scan_machinery(
     )
     gw = g * r
     n_steps = nb // g
-
-    def _tail_rescrub(Qbuf, Qk, t):
-        # Post-factorization BCGS2 pass for the trailing-corner panels —
-        # the scan-tier mirror of ``_block_qr_bgs._tail_rescrub`` (see the
-        # derivation there: the pre-factorization scrub's leftovers get
-        # amplified by the corner's column-norm ratio; measured orth
-        # 1.1e-5 scan-bgs / 5.4e-5 scan-bgs2 at 1024^2 fp32 with every
-        # other block at roundoff).  Unwritten Qbuf columns are zero, so
-        # W rows beyond the current panel are exactly zero and the fold
-        # ``Qk t = q2 (s t) + Qbuf (W t)`` stays upper triangular.
-        qf = Qk.astype(jnp.float32)
-        W = jnp.matmul(Qbuf.T, qf, precision=_HI,
-                       preferred_element_type=jnp.float32)
-        q2 = qf - jnp.matmul(Qbuf, W, precision=_HI,
-                             preferred_element_type=jnp.float32)
-        # Fused NS refactorization of the nearly-orthonormal remainder —
-        # one Mosaic dispatch instead of the XLA tri_cholqr chain (the
-        # dispatch cost matters even once per run; dist-mirror parity).
-        from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
-        Gq = jnp.matmul(q2.T, q2, precision=_HI,
-                        preferred_element_type=jnp.float32)
-        X, s, rs = ns_chain(Gq, iters=4, interpret=not on_tpu)
-        q2 = jnp.matmul(q2, X, precision=_HI,
-                        preferred_element_type=jnp.float32)
-        t32 = t.astype(jnp.float32)
-        return (q2.astype(qf.dtype), jnp.matmul(s, t32, precision=_HI),
-                jnp.matmul(W[:n, :], t32, precision=_HI), rs)
+    # Rescrub coverage: the corner amplification spans the ill-conditioned
+    # TAIL, not just the final group — mirror the unrolled/dist robust-tail
+    # count (max(2, nb // 8) panels) in steps, ceil-divided by g.  A
+    # final-step-only rescrub left the earlier tail panels' leaks in place
+    # at nb > 8g (e.g. 16384^2 r=128 g4: 16 robust panels across 4 steps).
+    rescrub_from = n_steps - min(n_steps, -(-max(2, nb // 8) // g))
 
     def step(k, carry):
         Qbuf, R, QtB, wr = carry
@@ -1386,13 +1393,14 @@ def _bgs_scan_machinery(
             Qk, t, resid = _panel(P)
             wr = jnp.maximum(wr, 0.01 * resid)  # robust panels: 1e-2 tol
             if reorth:
-                # Rescrub the LAST step's panels only (lax.cond: compiled
-                # once, executed on the final iteration) — the corner is
-                # where the amplification lives, so the whole-run cost is
-                # ~one extra Qbuf double-pass, not one per panel.
+                # Rescrub the robust-corner steps only (lax.cond: compiled
+                # once, executed on the final ceil(tail/g) iterations) —
+                # the amplification lives in the corner, so the whole-run
+                # cost is ~tail/g extra Qbuf double-passes, not one per
+                # panel.
                 Qk, t, dW, rs = jax.lax.cond(
-                    k == n_steps - 1,
-                    lambda a: _tail_rescrub(Qbuf, *a),
+                    k >= rescrub_from,
+                    lambda a: _rescrub_panel(Qbuf, *a, on_tpu=on_tpu),
                     lambda a: (a[0].astype(jnp.float32),
                                a[1].astype(jnp.float32),
                                jnp.zeros((n, r), jnp.float32),
@@ -1426,7 +1434,7 @@ def _bgs_scan_machinery(
         return Qbuf, R, QtB, wr
 
     carry0 = (Qbuf, R, QtB, jnp.float32(0.0))
-    return step, carry0, nb // g
+    return step, carry0, n_steps
 
 
 def _bgs_scan_finalize(
@@ -1564,8 +1572,10 @@ def block_qr(
             (requires it): 'fast' ~7.7e-2 orth at 2048^2-mixed (~270us,
             compact bf16 Q), 'balanced' ~4.9e-6 (~762us, fp32 Q),
             'high' ~1.0e-6 (~936us, fp32 Q), 'robust' =
-            Householder-grade for hostile spectra.  Measured ladder:
-            BENCH_NOTES.md round-5c.
+            Householder-grade factorization for hostile spectra (its
+            returned Q stays policy-resident — under compact-Q policies
+            use 'high' for orthogonality; see QUALITY_LEVELS).  Measured
+            ladder: BENCH_NOTES.md round-5c.
         check: NaN-canary handling for the Newton-Schulz tiers, which
             poison R[0,0]/Q[0,0] when a panel under-converges
             (``_poison_if_unconverged``):
@@ -1623,6 +1633,15 @@ def block_qr(
                 f"block_qr: non-finite factorization even via {retry_pm!r} "
                 "— the input likely contains NaN/Inf"
             )
+        if Q is not None and panel_method in ("bgs", "bgs2"):
+            # Dtype stability: the reorth tiers' primary path returns Q
+            # fp32 — the reflector retry must not hand the SAME call a
+            # bf16 Q (downstream jit would recompile; the fp32-Q contract
+            # would silently depend on the input's spectrum).  The upcast
+            # cannot recover the reflector path's q_store rounding — the
+            # retry's orthogonality is policy-limited, a documented
+            # trade for surviving a hostile spectrum.
+            Q = Q.astype(policy.accum)
     if mode == "r":
         return R_full[:n, :]
     if mode == "reduced":

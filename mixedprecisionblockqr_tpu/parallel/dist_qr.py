@@ -340,26 +340,21 @@ def _dist_bgs_local(
                 Qk, t, rresid = robust_panel(P_loc)
                 worst_resid = jnp.maximum(worst_resid, rresid)
                 if reorth and lam > 0:
-                    # Post-factorization BCGS2 pass (the dist mirror of
-                    # ops/blockqr.py::_block_qr_bgs._tail_rescrub — see
-                    # the derivation there): the group-start scrub runs
-                    # BEFORE factorization and the ill-conditioned corner
-                    # amplifies its leftovers by ~kappa; one psum'd
-                    # projection of the FINISHED panel + a 4-iteration
-                    # refactorization folds exactly:
+                    # Post-factorization rescrub — the SHARED D9 helper
+                    # (ops/blockqr.py::_rescrub_panel; derivation there
+                    # and in docs/ALGORITHMS.md D9): one psum'd projection
+                    # of the FINISHED panel + a 4-iteration
+                    # refactorization folds exactly
                     # Qk t = q2 (s t) + Qprev (W t).
-                    Qprev = Qbuf[:, :lam]
-                    W = jax.lax.psum(
-                        jnp.matmul(Qprev.T, Qk, precision=_HI), axis
+                    from mixedprecisionblockqr_tpu.ops.blockqr import (
+                        _rescrub_panel,
                     )
-                    q2 = Qk - jnp.matmul(Qprev, W, precision=_HI)
-                    Gq = psum_gram(q2, q2)
-                    X, s, rs = tri_chain(Gq, 4)
-                    Qk = jnp.matmul(q2, X, precision=_HI)
-                    R = R.at[:lam, lam : lam + r].add(
-                        jnp.matmul(W, t, precision=_HI)
+
+                    Qk, t, dW, rs = _rescrub_panel(
+                        Qbuf[:, :lam], Qk, t, on_tpu=on_tpu,
+                        psum_axis=axis,
                     )
-                    t = jnp.matmul(s, t, precision=_HI)
+                    R = R.at[:lam, lam : lam + r].add(dW)
                     worst_resid = jnp.maximum(worst_resid, rs * rs)
             else:
                 iters = base_iters if j < 0.75 * nb else base_iters + 4
@@ -565,37 +560,11 @@ def _dist_bgs_scan_local(
     gw = g * r
     n_robust = max(2, nb // 8)
     n_steps = nb // g
-
-    def _tail_rescrub(Qbuf, Qk, t):
-        # Post-factorization BCGS2 pass on the LAST step's panels — the
-        # distributed mirror of the single-chip scan fix (ops/blockqr.py::
-        # _bgs_scan_machinery._tail_rescrub; derivation in _block_qr_bgs):
-        # the pre-factorization scrub's leftovers are amplified by the
-        # trailing corner's column-norm ratio, leaving the final panels'
-        # cross terms ~kappa * eps above roundoff (the 16384^2 cert's
-        # 8.0e-5 orth floor).  One more psum'd projection of the FINISHED
-        # panel + a 4-iteration refactorization of the nearly-orthonormal
-        # remainder folds exactly: Qk t = q2 (s t) + Qbuf (W t).
-        qf = Qk.astype(jnp.float32)
-        W = jax.lax.psum(
-            jnp.matmul(Qbuf.astype(jnp.float32).T, qf, precision=_HI),
-            axis,
-        )
-        q2 = qf - jnp.matmul(Qbuf.astype(jnp.float32), W, precision=_HI)
-        G = psum_gram(q2, q2)
-        if on_tpu:
-            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
-
-            X, s, rs = ns_chain(G, iters=4)
-        else:
-            from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
-
-            X, rs = tri_inv_chol(G, iters=4, with_resid=True)
-            s = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
-        q3 = jnp.matmul(q2, X, precision=_HI)
-        t32 = t.astype(jnp.float32)
-        return (q3, jnp.matmul(s, t32, precision=_HI),
-                jnp.matmul(W, t32, precision=_HI), rs)
+    # Rescrub coverage mirrors the robust-panel predicate: the corner
+    # amplification spans all n_robust tail panels, not just the final
+    # group (a final-step-only rescrub misses most of them at nb > 8g,
+    # e.g. 16384^2 r=256 g4).
+    rescrub_from = n_steps - min(n_steps, -(-n_robust // g))
 
     def step(k, carry):
         Qbuf, R, QtB, wr = carry
@@ -623,13 +592,20 @@ def _dist_bgs_scan_local(
             )
             wr = jnp.maximum(wr, resid)
             if reorth:
-                # Rescrub the final step's panels only (replicated
-                # predicate: every device takes the same branch, so the
-                # branch collectives stay aligned); whole-run cost ~one
-                # extra Qbuf double-pass.
+                # Rescrub the robust-corner steps (SHARED D9 helper,
+                # ops/blockqr.py::_rescrub_panel — its psum_axis mode;
+                # replicated predicate: every device takes the same
+                # branch, so the branch collectives stay aligned);
+                # whole-run cost ~ceil(n_robust/g) extra Qbuf
+                # double-passes.
+                from mixedprecisionblockqr_tpu.ops.blockqr import (
+                    _rescrub_panel,
+                )
+
                 Qk, t, dW, rs = jax.lax.cond(
-                    k == n_steps - 1,
-                    lambda a: _tail_rescrub(Qbuf, *a),
+                    k >= rescrub_from,
+                    lambda a: _rescrub_panel(Qbuf, *a, on_tpu=on_tpu,
+                                             psum_axis=axis),
                     lambda a: (a[0].astype(jnp.float32),
                                a[1].astype(jnp.float32),
                                jnp.zeros((n, r), jnp.float32),
@@ -665,10 +641,9 @@ def _dist_bgs_scan_local(
     Qbuf, R, QtB, worst = jax.lax.fori_loop(
         0, nb // g, step, (Qbuf, R, QtB, jnp.float32(0.0))
     )
-    # Reorth tiers return Q fp32 (a bf16 return would round it to the
-    # ~4.4e-4 storage floor, wasting the scrub — see _block_qr_bgs);
-    # bgs1 keeps the compact q_store residency.
-    Qbuf = Qbuf.astype(jnp.float32 if reorth else q_dtype)
+    # Qbuf leaves in its loop residency (fp32 on the reorth tiers, the
+    # policy's compact q_store on bgs1); the PUBLIC boundary
+    # (dist_block_qr) owns the returned-Q dtype contract.
     R = jnp.triu(R)
     from mixedprecisionblockqr_tpu.ops.blockqr import _poison_if_unconverged
 

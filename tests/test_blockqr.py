@@ -293,6 +293,28 @@ def test_tail_rescrub_kills_corner_leak():
             f"fp32 tight gate (corner-leak rescrub regression)")
 
 
+def test_tail_rescrub_covers_whole_robust_corner():
+    """Scan-tier rescrub COVERAGE (round-5c review finding): the corner
+    amplification spans the whole ill-conditioned tail (max(2, nb//8)
+    panels), not just the final group — a final-step-only rescrub left
+    the earlier tail panels' leaks in place whenever nb > 8g.  This
+    config (nb=32, g=2 -> 16 steps, 4-panel tail across 2 steps) exercises
+    exactly the previously-uncovered step on a Bierlaire-conditioned
+    matrix whose corner kappa is large across several panels; the tight
+    2^-23*sqrt(m) gate pins the fix."""
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    a = conditioned_matrix(1024, condition_number=1e5, seed=3).astype(
+        np.float32
+    )
+    for pm in ("bgs", "bgs2"):
+        Q, R = block_qr(jnp.asarray(a), 32, POLICY_FP32, mode="complete",
+                        panel_method=pm, loop_mode="scan", group_panels=2)
+        rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                               precision_bits=23)
+        assert rep.all_ok and rep.tight_ok, f"{pm}: {rep}"
+
+
 def test_block_qr_bgs_mixed_group_and_perpanel_groups():
     """Regression: when group-kernel groups PRECEDE a per-panel group that
     still has trailing columns (m > 3072 sends robust-tail groups through

@@ -558,6 +558,26 @@ def test_dist_tail_rescrub_tight_gate(mesh):
             f"tight gate (corner-leak rescrub regression)")
 
 
+def test_dist_tail_rescrub_covers_whole_robust_corner(mesh):
+    """Dist mirror of the scan-rescrub coverage fix: nb=16 at g=2 puts the
+    2-panel robust tail in the final step AND n_robust=2 == g, but nb=32
+    at g=2 (this config) spreads max(2, nb//8)=4 robust panels across two
+    steps — the second-to-last was previously never rescrubbed.  The
+    shared D9 helper's psum path must reach the tight gate on a
+    conditioned matrix."""
+    from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
+
+    a = conditioned_matrix(512, condition_number=1e5, seed=5).astype(
+        np.float32
+    )
+    Q, R = dist_block_qr(a, mesh, block_size=16, mode="reduced",
+                         panel_method="bgs2", loop_mode="scan",
+                         group_panels=2, policy=POLICY_FP32)
+    rep = metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                           precision_bits=23)
+    assert rep.all_ok and rep.tight_ok, str(rep)
+
+
 def test_dist_quality_ladder(mesh):
     """dist_block_qr(quality=...) maps the same ladder as single-chip
     qr(quality=...): 'fast' -> bgs1 single-pass CGS, 'balanced' -> bgs2
