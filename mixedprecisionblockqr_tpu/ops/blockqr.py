@@ -990,9 +990,24 @@ def _block_qr_bgs(
     worst_resid = jnp.float32(0.0)
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
                                accum_dtype=policy.accum)
+    # Reorth tiers: ALL in-group dots fp32 HIGHEST — the group KERNEL
+    # already does this (bf16_dots=False), but the per-panel fallback
+    # (groups past the VMEM quota, 8192^2+) ran its eager in-group
+    # projections at mm_t: under mixed policies that is single-pass bf16,
+    # whose in-group drift floors orth at ~2^-11 (measured 4.9e-4 at
+    # 8192^2 mixed 'high' vs 1.8e-6 fp32 'high' — the one path where the
+    # tier's precision contract silently depended on buffer size).
+    # INTER-group trailing projections stay mm_t by design: the next
+    # group's scrub runs above that noise (BCGS2).
+    mm_e = (
+        (lambda a, b: jnp.matmul(
+            a.astype(jnp.float32), b.astype(jnp.float32), precision=_HI,
+            preferred_element_type=jnp.float32))
+        if reorth else mm_t
+    )
     gram_prec = (
         _HI
-        if jnp.dtype(policy.trailing) == jnp.float32 or mid_tier
+        if jnp.dtype(policy.trailing) == jnp.float32 or mid_tier or reorth
         else jax.lax.Precision.HIGH
     )
     R = jnp.zeros((n, n), jnp.float32)
@@ -1171,12 +1186,12 @@ def _block_qr_bgs(
             R = R.at[lam : lam + r, lam : lam + r].set(t)
             if lam + r < g_end:  # eager projection of the group's own cols
                 C = Pbuf[:, c0 + r :]
-                G1 = mm_t(Qk.T, C)
+                G1 = mm_e(Qk.T, C)
                 # .at.set on the INTERNAL group buffer is an in-place DUS
                 # (the old Pbuf is dead here) — only the live suffix is
                 # rewritten, and the jit parameter A is never cloned.
                 Pbuf = Pbuf.at[:, c0 + r :].set(
-                    (C - mm_t(Qk, G1)).astype(Pbuf.dtype)
+                    (C - mm_e(Qk, G1)).astype(Pbuf.dtype)
                 )
                 R = R.at[lam : lam + r, lam + r : g_end].set(G1)
             if B is not None:

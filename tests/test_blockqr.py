@@ -315,6 +315,30 @@ def test_tail_rescrub_covers_whole_robust_corner():
         assert rep.all_ok and rep.tight_ok, f"{pm}: {rep}"
 
 
+def test_perpanel_fallback_matches_group_kernel_precision_contract():
+    """The reorth tiers' precision contract ('ALL in-group dots HIGHEST')
+    must not depend on buffer size: the group KERNEL runs eager in-group
+    projections fp32 (bf16_dots=False), but the per-panel fallback —
+    taken whenever the m x g*r buffer exceeds the VMEM quota, i.e. at
+    8192^2+ — ran them at mm_t (bf16 under mixed policies), flooring
+    orth at the in-group single-pass bf16 drift (~2^-11: measured
+    4.9e-4 at 8192^2 mixed 'high' on chip vs 1.8e-6 for fp32 'high').
+    ns_impl='pallas' IS the fallback path; post-fix it reaches fp32-class
+    orth under MIXED_FAST (measured here: 2.3e-6)."""
+    from mixedprecisionblockqr_tpu.ops.blockqr import _block_qr_bgs
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    a = _rand(512, 512, seed=7) - 0.5
+    R, Q, _ = _block_qr_bgs(
+        jnp.asarray(a), 64, POLICY_MIXED_FAST, True, None,
+        group_panels=4, on_tpu=False, reorth=True, ns_impl="pallas",
+    )
+    orth = float(metrics.orthogonality_error(np.asarray(Q, np.float32)))
+    assert orth < 1e-5, (
+        f"per-panel reorth fallback orth {orth:.2e} — bf16 eager "
+        "projections leaked back into the reorth tier")
+
+
 def test_block_qr_bgs_mixed_group_and_perpanel_groups():
     """Regression: when group-kernel groups PRECEDE a per-panel group that
     still has trailing columns (m > 3072 sends robust-tail groups through
