@@ -188,6 +188,7 @@ def lstsq(
     refine_steps: int = 0,
     panel_method: str = "householder",
     rcond: float | None = None,
+    quality: str | None = None,
 ):
     """Minimize ||A x - b||_2 via QR (the reference's
     ``linear_least_square``, ``python/linear_least_sqare.py:5-22``).
@@ -199,6 +200,9 @@ def lstsq(
         select the fused-kernel throughput tiers (solves keep the
         'householder' robust default: x accuracy is kappa-limited and
         solver workloads skew ill-conditioned).
+    quality: the speed/quality ladder knob, forwarded to the blocked
+        driver (requires panel_method='auto'; see ``qr``) — for solves
+        it trades R / Q^T b accuracy, since no Q is materialized.
     refine_steps: iterative-refinement sweeps (solve A dx = r on the SAME
         factorization, x += dx) — recovers solution accuracy on
         ill-conditioned systems where a single fp32/mixed solve is
@@ -243,7 +247,8 @@ def lstsq(
     # tripwire below fetches diag(R)), so take the transparent
     # robust-retry path on NS-tier breakdowns instead of NaN propagation.
     R, qtb = block_qr_qtb(A, b, block_size=block_size, policy=policy,
-                          panel_method=panel_method, check="sync")
+                          panel_method=panel_method, quality=quality,
+                          check="sync")
     Rn = R[:n, :] if R.shape[0] >= n else R
     if rcond is None or rcond > 0:
         # Rank-deficiency tripwire on the (unpivoted) diagonal: plain QR

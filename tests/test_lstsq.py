@@ -54,6 +54,20 @@ def test_lstsq_tall():
     np.testing.assert_allclose(x, xtrue, atol=5e-3)
 
 
+def test_lstsq_quality_passthrough():
+    """lstsq forwards the quality-ladder knob to the blocked driver (the
+    same API surface as qr(quality=...)); off-TPU auto resolves to the
+    householder oracle so this pins the plumbing, not the tier choice."""
+    rng = np.random.default_rng(3)
+    A = rng.random((256, 128)).astype(np.float32)
+    xtrue = rng.random(128).astype(np.float32)
+    b = A @ xtrue
+    x = np.asarray(lstsq(A, b, panel_method="auto", quality="high"))
+    np.testing.assert_allclose(x, xtrue, atol=5e-3)
+    with pytest.raises(ValueError):
+        lstsq(A, b, panel_method="householder", quality="high")
+
+
 def test_lstsq_tsqr_method():
     rng = np.random.default_rng(3)
     A = rng.random((2048, 24)).astype(np.float32)
