@@ -68,11 +68,12 @@ def _back_substitution(
         b = b[:, None]
     R = R.astype(jnp.float32)
     b = b.astype(jnp.float32)
-    if lower:
-        # Solve lower-triangular by flipping to the upper case.
-        x = _back_substitution(R[::-1, ::-1], b[::-1], lower=False,
-                               block_size=block_size)
-        return x[::-1, 0] if squeeze else x[::-1]
+    # lower=True is handled by the PUBLIC wrapper's outside-jit flip —
+    # an in-jit recursive flip here is exactly the fused double-rev that
+    # crashes XLA:CPU ('Invalid binary instruction opcode map',
+    # hlo_instruction.cc:1585; see back_substitution's docstring), so
+    # reject it instead of keeping a dead landmine branch.
+    assert not lower, "use back_substitution(lower=True) — see docstring"
 
     r = min(block_size, n)
     nb = -(-n // r)
@@ -219,7 +220,11 @@ def lstsq(
     A = jnp.asarray(A, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
     m, n = A.shape
-    if method == "pivoted":
+    if method == "pivoted" or m < n:
+        # Underdetermined systems need the min-norm solution (a square R
+        # does not exist for plain-QR back-substitution) — np.linalg.lstsq
+        # semantics; previously this crashed with an opaque matmul shape
+        # error (review finding).
         return lstsq_pivoted(A, b, rcond=rcond)
     if method == "tsqr":
         Q, R = tsqr(A)
@@ -233,9 +238,30 @@ def lstsq(
     if refine_steps > 0:
         # Refinement needs a REUSABLE implicit Q: factor once with the
         # stored-factor CAQR path (apply_qt replays the factors per sweep).
+        # quality/panel_method select blocked-driver tiers and do not
+        # apply here — reject rather than silently ignore (review
+        # finding: the quality knob and its validation were bypassed).
+        if quality is not None:
+            raise ValueError(
+                "refine_steps uses the stored-factor CAQR path; the "
+                "quality ladder applies to the blocked driver only — "
+                "drop quality= or refine_steps="
+            )
         from mixedprecisionblockqr_tpu.parallel.caqr import apply_qt, caqr_factor
 
         factors, Rc = caqr_factor(A, block_size=min(block_size, max(n // 2, 1)))
+        if rcond is None or rcond > 0:
+            # Same rank-deficiency tripwire as the blocked path below —
+            # refinement iterates through 1/R_ii and diverges on tiny
+            # pivots just as badly as a single solve (review finding:
+            # this path used to bypass the pivoted reroute).
+            d = jnp.abs(jnp.diag(Rc[:n, :]))
+            tol = (
+                float(jnp.finfo(jnp.float32).eps) * max(m, n)
+                if rcond is None else rcond
+            )
+            if float(jnp.min(d)) <= tol * float(jnp.max(d)):
+                return lstsq_pivoted(A, b, rcond=rcond)
         squeeze = b.ndim == 1
         bc = b[:, None] if squeeze else b
         x = back_substitution(Rc, apply_qt(factors, bc)[:n, :])
@@ -295,6 +321,12 @@ def rls_init(
     formulation of incremental least squares."""
     A = jnp.asarray(A, jnp.float32)
     n = A.shape[1]
+    if A.shape[0] < n:
+        raise ValueError(
+            f"rls_init needs an overdetermined initial system (m >= n), "
+            f"got {A.shape}: a square information factor R does not exist "
+            "yet — accumulate at least n rows first (or pad with a prior)"
+        )
     R, qtb = block_qr_qtb(A, jnp.asarray(b, jnp.float32),
                           block_size=block_size, policy=policy,
                           panel_method=panel_method, check="sync")

@@ -22,6 +22,7 @@ IDENTICAL to an uninterrupted one — tested to equality in
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
@@ -35,6 +36,27 @@ from mixedprecisionblockqr_tpu.ops.blockqr import (
     _on_tpu,
 )
 from mixedprecisionblockqr_tpu.ops.policy import POLICY_FP32, DTypePolicy
+
+
+@lru_cache(maxsize=None)
+def _segment_fn(block_size, policy, on_tpu, reorth, group_panels,
+                chain_mid, with_b):
+    """ONE compiled segment program per configuration: A (and B) are jit
+    ARGUMENTS, not closure constants — a resume-after-preemption call in a
+    fresh process hits the persistent XLA cache instead of re-tracing with
+    the full matrix baked into the jaxpr (at 16384^2 that is a 1 GB
+    constant and a relay recompile per resume, defeating the module's
+    whole purpose)."""
+
+    @jax.jit
+    def seg(A, B, carry, k0, k1):
+        step, _, _ = _bgs_scan_machinery(
+            A, B if with_b else None, block_size, policy, on_tpu=on_tpu,
+            reorth=reorth, group_panels=group_panels, chain_mid=chain_mid,
+        )
+        return jax.lax.fori_loop(k0, k1, step, carry)
+
+    return seg
 
 _CARRY_KEYS = ("qbuf", "r", "qtb", "worst_resid")
 
@@ -101,8 +123,10 @@ def block_qr_resumable(
     tests and cooperative schedulers); when the bound stops the run early
     the return is ``None`` — call again to continue.
 
-    Returns ``(Q, R)`` like ``block_qr`` (reduced or complete for m == n),
-    or ``None`` when stopped early by ``max_segments``.
+    Returns ``(Q, R)`` like ``block_qr`` — reduced ``(m, n)/(n, n)``
+    factors, or complete for m == n — plus ``Q^T B`` as a third element
+    when ``B`` is given.  Returns ``None`` when stopped early by
+    ``max_segments``.
     """
     A = jnp.asarray(A)
     m, n = A.shape
@@ -111,15 +135,27 @@ def block_qr_resumable(
             "resumable driver: complete mode only for m == n "
             "(same contract as the BGS drivers)"
         )
+    r = min(block_size, n)
+    if n % r != 0 or m < n:
+        # The scan machinery requires r | n and m >= n; surface a real
+        # error instead of its internal assert (block_qr falls back to
+        # the reflector tier on such shapes — this driver cannot, its
+        # checkpointable carry IS the scan carry).
+        raise ValueError(
+            f"block_qr_resumable needs block_size | n and m >= n, got "
+            f"shape {(m, n)} with block_size {r}; pad n to a multiple or "
+            "use block_qr (whose hostile-shape fallback is not "
+            "checkpointable)"
+        )
     on_tpu = _on_tpu()
-    step, carry0, nsteps = _bgs_scan_machinery(
+    _, carry0, nsteps = _bgs_scan_machinery(
         A, B, block_size, policy, on_tpu=on_tpu, reorth=reorth,
         group_panels=group_panels, chain_mid=chain_mid,
     )
-
-    @jax.jit
-    def segment(carry, k0, k1):
-        return jax.lax.fori_loop(k0, k1, step, carry)
+    segment = _segment_fn(block_size, policy, on_tpu, reorth,
+                          group_panels, chain_mid, B is not None)
+    Bc = (jnp.asarray(B) if B is not None
+          else jnp.zeros((m, 1), jnp.float32))
 
     k = _latest_step(checkpoint_dir)
     if k is None:
@@ -138,7 +174,7 @@ def block_qr_resumable(
         # x64 test config, int32 on TPU) so the step's dynamic slices see
         # one index type; the traced bounds mean ONE compiled segment
         # program serves every (k0, k1).
-        carry = segment(carry, jnp.asarray(k), jnp.asarray(k1))
+        carry = segment(A, Bc, carry, jnp.asarray(k), jnp.asarray(k1))
         carry = jax.block_until_ready(carry)
         _save(checkpoint_dir, k1, carry)
         prev = os.path.join(checkpoint_dir, f"step_{k}")
@@ -150,11 +186,14 @@ def block_qr_resumable(
         done_segments += 1
 
     Qbuf, R, QtB, worst_resid = carry
-    R_full, Q, _ = _bgs_scan_finalize(
+    R_full, Q, QtBout = _bgs_scan_finalize(
         m, n, policy, True, B is not None, Qbuf, R, QtB, worst_resid,
         reorth=reorth,
     )
-    return Q, R_full
+    Rout = R_full if mode == "complete" else R_full[:n, :]
+    if B is not None:
+        return Q, Rout, QtBout
+    return Q, Rout
 
 
 def clear_checkpoints(checkpoint_dir: str) -> None:

@@ -237,6 +237,17 @@ def qr_rank1_update(Q, R, u, v):
             f"qr_rank1_update needs the complete-mode factors: Q {Q.shape} "
             f"vs R {R.shape} (use mode='complete')"
         )
+    return _rank1_run(m, n)(Q, R, u, v)
+
+
+@lru_cache(maxsize=None)
+def _rank1_run(m: int, n: int):
+    """ONE compiled rank-1-update program per shape (the module-level
+    cache pattern of ``_fold_rows_run``/``_givens_run``, round-2 ADVICE
+    item 4): a per-call inner ``@jax.jit`` retraced every invocation —
+    measured ~4.5 s PER CALL on CPU at 48x32, and a relay recompile per
+    call on TPU — on the streaming primitive that exists precisely to be
+    called once per observation."""
 
     @jax.jit
     def run(Q, R, u, v):
@@ -272,7 +283,7 @@ def qr_rank1_update(Q, R, u, v):
         # Exact triangularity: the zeroed subdiagonal carries roundoff.
         return Qt.T, jnp.triu(R)
 
-    return run(Q, R, u, v)
+    return run
 
 
 @lru_cache(maxsize=None)

@@ -99,15 +99,42 @@ def test_resumable_with_qtb_and_quality(tmp_path):
     a = _problem(seed=3)
     b = np.random.default_rng(4).standard_normal((256, 3)).astype(np.float32)
     ckpt = str(tmp_path / "ck")
-    Q, R = block_qr_resumable(a, ckpt, block_size=32, policy=POLICY_FP32,
-                              B=jnp.asarray(b), reorth=True,
-                              segment_groups=3)
+    Q, R, qtb = block_qr_resumable(a, ckpt, block_size=32,
+                                   policy=POLICY_FP32, B=jnp.asarray(b),
+                                   reorth=True, segment_groups=3)
     rep = mpq.metrics.evaluate(a, np.asarray(Q), np.asarray(R),
                                precision_bits=23)
     assert rep.all_ok and rep.tight_ok, str(rep)
+    # Q^T B must actually come back (it was threaded through every
+    # segment AND checkpointed — review finding: it used to be dropped
+    # at finalize) and match the explicit product.
+    np.testing.assert_allclose(
+        np.asarray(qtb), np.asarray(Q).T @ b, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_resumable_tall_returns_reduced_r(tmp_path):
+    """Review finding: tall inputs returned the zero-padded (m, n) R_full,
+    breaking the documented block_qr-reduced contract (Q @ R crashed)."""
+    a = np.random.default_rng(6).standard_normal((128, 64)).astype(
+        np.float32
+    )
+    Q, R = block_qr_resumable(a, str(tmp_path / "ck"), block_size=32,
+                              reorth=True, segment_groups=8)
+    assert Q.shape == (128, 64) and R.shape == (64, 64)
+    rep = mpq.metrics.evaluate(a, np.asarray(Q), np.asarray(R),
+                               precision_bits=23)
+    assert rep.all_ok, str(rep)
 
 
 def test_complete_mode_contract():
     a = np.random.default_rng(5).standard_normal((64, 32)).astype(np.float32)
     with pytest.raises(ValueError):
         block_qr_resumable(a, "/tmp/unused-ck", mode="complete")
+    # Shape validation (review finding): indivisible n used to die on the
+    # scan machinery's internal assert with no message.
+    bad = np.random.default_rng(7).standard_normal((256, 200)).astype(
+        np.float32
+    )
+    with pytest.raises(ValueError, match="block_size"):
+        block_qr_resumable(bad, "/tmp/unused-ck")

@@ -68,6 +68,45 @@ def test_lstsq_quality_passthrough():
         lstsq(A, b, panel_method="householder", quality="high")
 
 
+def test_lstsq_underdetermined_min_norm():
+    """m < n (review finding: used to crash with an opaque matmul shape
+    error) routes to the pivoted min-norm path — np.linalg.lstsq
+    semantics."""
+    rng = np.random.default_rng(8)
+    A = rng.random((64, 128)).astype(np.float32)
+    b = rng.random(64).astype(np.float32)
+    x = np.asarray(lstsq(A, b))
+    xr, *_ = np.linalg.lstsq(A.astype(np.float64), b.astype(np.float64),
+                             rcond=None)
+    assert x.shape == (128,)
+    resid = np.linalg.norm(A @ x - b)
+    resid_ref = np.linalg.norm(A @ xr - b)
+    assert abs(resid - resid_ref) < 1e-4
+    # Min-norm: same solution norm as numpy's pseudo-inverse solution.
+    np.testing.assert_allclose(np.linalg.norm(x), np.linalg.norm(xr),
+                               rtol=1e-4)
+
+
+def test_lstsq_refine_path_guards():
+    """The refine_steps path uses CAQR stored factors (review findings):
+    quality= must be rejected, not silently ignored, and the
+    rank-deficiency tripwire must still reroute to the pivoted min-norm
+    path instead of iterating through tiny pivots to inf/NaN."""
+    rng = np.random.default_rng(9)
+    A = rng.random((128, 64)).astype(np.float32)
+    b = rng.random(128).astype(np.float32)
+    with pytest.raises(ValueError, match="quality"):
+        lstsq(A, b, panel_method="auto", quality="high", refine_steps=1)
+    # Rank-deficient: duplicate a column, solve with refinement.
+    Ad = A.copy()
+    Ad[:, -1] = Ad[:, 0]
+    x = np.asarray(lstsq(Ad, b, refine_steps=2))
+    assert np.all(np.isfinite(x))
+    xr, *_ = np.linalg.lstsq(Ad.astype(np.float64), b.astype(np.float64),
+                             rcond=None)
+    assert abs(np.linalg.norm(Ad @ x - b) - np.linalg.norm(Ad @ xr - b)) < 1e-3
+
+
 def test_lstsq_tsqr_method():
     rng = np.random.default_rng(3)
     A = rng.random((2048, 24)).astype(np.float32)
