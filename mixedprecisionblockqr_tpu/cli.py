@@ -34,16 +34,27 @@ def _load_matrix(args) -> np.ndarray:
     if getattr(args, "cond", None):
         from mixedprecisionblockqr_tpu.utils.datagen import conditioned_matrix
 
+        if getattr(args, "m", None) not in (None, args.n):
+            # The Bierlaire generator is square-only; an explicit
+            # rectangular request used to silently produce an n x n
+            # matrix (review finding: results reported for the wrong
+            # shape).
+            raise SystemExit(
+                f"error: --cond generates a square n x n matrix; got "
+                f"--m {args.m} --n {args.n} (drop --m or use --file)"
+            )
         return conditioned_matrix(args.n, args.cond, seed=args.seed).astype(
             np.float32
         )
     rng = np.random.default_rng(args.seed)
-    return (rng.random((args.m, args.n), dtype=np.float32) - 0.5)
+    m = args.m if args.m is not None else args.n
+    return (rng.random((m, args.n), dtype=np.float32) - 0.5)
 
 
 def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
     if with_matrix:
-        p.add_argument("--m", type=int, default=1024)
+        p.add_argument("--m", type=int, default=None,
+                       help="rows (default: n, i.e. square)")
         p.add_argument("--n", type=int, default=1024)
         p.add_argument("--file", help="Euroc Jacobian text file")
         p.add_argument("--cond", type=float, help="target condition number")
@@ -80,8 +91,6 @@ def _common_flags(p: argparse.ArgumentParser, with_matrix: bool = True):
 
 
 def cmd_qr(args) -> int:
-    import jax.numpy as jnp
-
     from mixedprecisionblockqr_tpu.ops import metrics
     from mixedprecisionblockqr_tpu.ops.blockqr import block_qr
     from mixedprecisionblockqr_tpu.ops.policy import policy_by_name
@@ -207,11 +216,17 @@ def cmd_suite(args) -> int:
 
     logger = ResultsLogger(args.log_dir)
     failures = 0
-    done = set()
+    done: dict = {}
     if args.resume:
-        # Sweep-resume: skip (name, m, n) combos already in the CSV logs —
-        # long dataset sweeps survive interruption (SURVEY §5
-        # checkpoint/resume).
+        # Sweep-resume: skip cases already in the CSV logs — long dataset
+        # sweeps survive interruption (SURVEY §5 checkpoint/resume).
+        # COUNT occurrences per (name, m, n) rather than set membership:
+        # the static table deliberately repeats shapes with different
+        # block sizes r (and the CSV schema — reference parity — does not
+        # record r), so a set key skipped every later r-variant of a
+        # duplicated shape forever (review finding).  Cases run in
+        # deterministic table order, so skipping the first K occurrences
+        # resumes exactly where the log left off.
         import glob as _glob
 
         from mixedprecisionblockqr_tpu.utils.logging import read_csv_log
@@ -220,13 +235,16 @@ def cmd_suite(args) -> int:
             name = os.path.splitext(os.path.basename(path))[0]
             try:
                 for rec in read_csv_log(path):
-                    done.add((name, rec["rows"], rec["cols"]))
+                    key = (name, rec["rows"], rec["cols"])
+                    done[key] = done.get(key, 0) + 1
             except Exception:
                 pass
 
     def run_case(name, a, r, policy, bits):
         nonlocal failures
-        if (name, a.shape[0], a.shape[1]) in done:
+        key = (name, a.shape[0], a.shape[1])
+        if done.get(key, 0) > 0:
+            done[key] -= 1
             return
         t0 = time.perf_counter()
         # The suite exercises what users get: auto dispatch (the measured
@@ -275,8 +293,15 @@ def cmd_solve(args) -> int:
     rng = np.random.default_rng(args.seed + 1)
     xtrue = rng.random(a.shape[1]).astype(np.float32)
     b = a @ xtrue
+    # --quality implies auto dispatch (the subcommand default is the
+    # robust 'householder'; the library rejects quality with an explicit
+    # non-auto method).
+    pm = ("auto" if args.quality and args.panel_method == "householder"
+          else args.panel_method)
     x = np.asarray(
-        lstsq(a, b, block_size=args.block_size, policy=policy_by_name(args.policy))
+        lstsq(a, b, block_size=args.block_size,
+              policy=policy_by_name(args.policy),
+              panel_method=pm, quality=args.quality)
     )
     resid = float(np.linalg.norm(a @ x - b) / np.linalg.norm(b))
     err = float(np.max(np.abs(x - xtrue)))
@@ -306,20 +331,29 @@ def cmd_dist(args) -> int:
     a = _load_matrix(args)
     mesh = make_mesh()
     policy = policy_by_name(args.policy)
-    if args.quality and args.panel_method == "auto":
-        # The same ladder as single-chip `qr --quality` (dist_block_qr
-        # applies the identical mapping for library callers): fast/
-        # balanced/high -> bgs1/bgs2/bgs, robust -> householder leaves.
-        args.panel_method = {
-            "fast": "bgs1", "balanced": "bgs2", "high": "bgs",
-            "robust": "householder",
-        }[args.quality]
+    if args.quality:
+        if args.panel_method != "auto":
+            # Same conflict rule as single-chip qr --quality (review
+            # finding: this used to silently drop --quality instead).
+            print(
+                "error: --quality is the auto-dispatch ladder knob; it "
+                f"cannot combine with --panel-method {args.panel_method!r}",
+                file=sys.stderr,
+            )
+            return 2
+        # Map through the library's ladder table (one source of truth —
+        # the CLI previously duplicated it as a literal dict and the two
+        # had drifted; dist_block_qr(quality=) applies the same mapping
+        # and scan guard for library callers).
+        from mixedprecisionblockqr_tpu.ops.blockqr import _QUALITY_BGS
+
+        args.panel_method = _QUALITY_BGS.get(args.quality, "householder")
         if (
             args.panel_method.startswith("bgs")
+            and a.shape[1] % min(args.block_size, a.shape[1]) == 0
             and a.shape[1] // min(args.block_size, a.shape[1]) > 32
             and args.loop_mode == "unroll"
         ):
-            # Same large-panel-count compile guard as the auto branch.
             args.loop_mode = "scan"
     if args.panel_method == "auto":
         m_, n_ = a.shape
@@ -393,7 +427,7 @@ def cmd_tsqr_bench(args) -> int:
     import jax.numpy as jnp
 
     from mixedprecisionblockqr_tpu.ops import metrics
-    from mixedprecisionblockqr_tpu.parallel.tsqr import _tsqr_impl, tsqr
+    from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr
     from mixedprecisionblockqr_tpu.utils.flops import tsqr_flops
     from mixedprecisionblockqr_tpu.utils.timing import time_step_amortized
 
@@ -406,7 +440,12 @@ def cmd_tsqr_bench(args) -> int:
     rep_o = float(metrics.orthogonality_error(Q))
 
     def step(x):
-        Q, R = _tsqr_impl(x, args.leaves, args.method)
+        # Time the EXACT program whose errors were just validated — tsqr's
+        # own dispatch.  Timing _tsqr_impl directly diverged at --leaves 1
+        # (tsqr dispatches the direct no-tree leaf path there; the impl
+        # adds a degenerate tree + fix-up einsum the validated path never
+        # runs — review finding, the timed-equals-dispatched rule).
+        Q, R = tsqr(x, n_leaves=args.leaves, method=args.method)
         return x * (1.0 + 1e-12 * R[0, 0])
 
     sec = time_step_amortized(step, A, iters=args.iters)
@@ -477,7 +516,11 @@ def main(argv: Optional[list] = None) -> int:
 
     p = sub.add_parser("solve", help="QR least-squares solve")
     _common_flags(p)
-    p.set_defaults(fn=cmd_solve, policy="fp32")
+    # Solves keep the robust reflector default (lstsq's own default and
+    # rationale: solver workloads skew ill-conditioned); explicit
+    # --panel-method/--quality are now FORWARDED to lstsq rather than
+    # silently ignored (review finding).
+    p.set_defaults(fn=cmd_solve, policy="fp32", panel_method="householder")
 
     p = sub.add_parser("dataset", help="synthesize Euroc-format Jacobians")
     p.add_argument("--out", default="data/jacobians")

@@ -14,7 +14,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mixedprecisionblockqr_tpu.ops.blockqr import _jitted_driver
+from mixedprecisionblockqr_tpu.ops.blockqr import (
+    _jitted_driver,
+    resolve_panel_config,
+)
 from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32
 from mixedprecisionblockqr_tpu.parallel.mesh import BATCH_AXIS, ROWS_AXIS
 from mixedprecisionblockqr_tpu.parallel.tsqr import _leaf_qr, reduction_tree
@@ -38,7 +41,16 @@ def block_qr_batched_sharded(
         raise ValueError(f"batch {b} must divide over {axis}")
     sharding = NamedSharding(mesh, P(axis, None, None))
     A_batch = jax.device_put(A_batch, sharding)
-    fn = _jitted_driver(block_size, policy, True, False, panel_method)
+    # Shared dispatch table (the same shape-fallback chain + policy/method
+    # validation every other entry point uses) — going straight to
+    # _jitted_driver let hostile shapes die on the driver's bare assert
+    # and skipped the fp64/NS-tier check (review finding).
+    panel_method, _, group_panels = resolve_panel_config(
+        m, n, block_size, policy, panel_method, "unroll", 4,
+        mode="reduced",
+    )
+    fn = _jitted_driver(block_size, policy, True, False, panel_method,
+                        group_panels=group_panels)
 
     def local(x):  # (b/d, m, n) — embarrassingly parallel
         R_full, Q, _ = jax.vmap(fn)(x)

@@ -30,10 +30,7 @@ import jax.numpy as jnp
 
 from mixedprecisionblockqr_tpu.ops.householder import panel_factor
 from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32
-from mixedprecisionblockqr_tpu.ops.wy import (
-    apply_block_reflector_left_t,
-    apply_block_reflector_right,
-)
+from mixedprecisionblockqr_tpu.ops.wy import apply_block_reflector_left_t
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -81,7 +78,16 @@ class CAQRFactors:
 
 def _pick_row_blocks(height: int, r: int, requested: Optional[int]) -> int:
     if requested is not None:
-        return requested
+        # Clamp to the per-panel height like the auto rule: panels shrink
+        # toward the trailing corner, so an unclamped explicit L failed on
+        # the LAST panel of every m ~= n input (review finding: caqr at
+        # 64^2 / row_blocks=2 raised on its final 16x16 panel).  The
+        # request is a per-panel UPPER bound, halved until leaves are at
+        # least r tall.
+        L = max(1, requested)
+        while L > 1 and height // L < r:
+            L //= 2
+        return L
     L = 1
     while L * 2 <= 32 and height // (L * 2) >= max(2 * r, 8):
         L *= 2

@@ -965,6 +965,19 @@ def dist_block_qr(
                 f"quality must be one of {QUALITY_LEVELS}, got {quality!r}"
             )
         panel_method = _QUALITY_BGS.get(quality, "householder")
+        n_ = A.shape[1]
+        r_ = min(block_size, n_)
+        if (
+            panel_method.startswith("bgs")
+            and loop_mode == "unroll"
+            and n_ % r_ == 0
+            and n_ // r_ > 32
+        ):
+            # Large panel counts: the unrolled driver compiles n/r
+            # distinct panel programs (minutes-to-hours over a compile
+            # relay) — same guard as resolve_panel_config / the CLI
+            # (review finding: library quality= callers didn't get it).
+            loop_mode = "scan"
     A = jnp.asarray(A, dtype=policy.panel)
     m, n = A.shape
     d = mesh.shape[axis]

@@ -103,6 +103,22 @@ def reduction_tree(
     return F, R
 
 
+def _check_leaf_height(m: int, L: int, n: int, ctx: str) -> None:
+    """Leaves must be at least n tall: a short leaf's QR has rank < n and
+    the tree silently propagates the defect — cholqr leaves return
+    ALL-NaN factors (no canary, no error) and householder leaves crash
+    with an opaque broadcast error (review finding, verified at
+    256x64 / 8 leaves).  Same rule CAQR enforces for its row blocks."""
+    h = -(-m // L)
+    if h < n:
+        raise ValueError(
+            f"{ctx}: leaf height ceil({m}/{L}) = {h} is shorter than the "
+            f"panel width n = {n}; use at most {max(m // n, 1)} leaves "
+            "(short leaves are rank-deficient and the reduction tree "
+            "propagates the defect silently)"
+        )
+
+
 def _pick_leaves(m: int, n: int, n_leaves: Optional[int]) -> int:
     if n_leaves is not None:
         return n_leaves
@@ -161,6 +177,7 @@ def tsqr(
     L = _pick_leaves(m, n, n_leaves)
     if L == 1:
         return _leaf_qr(A, method)
+    _check_leaf_height(m, L, n, "tsqr")
     return _tsqr_impl(A, L, method)
 
 
@@ -171,6 +188,8 @@ def tsqr_batched(A_batch, n_leaves: Optional[int] = None):
     L = _pick_leaves(A_batch.shape[1], A_batch.shape[2], n_leaves)
     if L == 1:
         return jax.vmap(_leaf_qr)(A_batch)
+    _check_leaf_height(A_batch.shape[1], L, A_batch.shape[2],
+                       "tsqr_batched")
     return jax.vmap(lambda a: _tsqr_impl(a, L))(A_batch)
 
 
@@ -201,6 +220,7 @@ def tsqr_sharded(
         )
     if local_leaves < 1 or local_leaves & (local_leaves - 1):
         raise ValueError(f"local_leaves must be a power of two, got {local_leaves}")
+    _check_leaf_height(m, d * local_leaves, n, "tsqr_sharded")
 
     def local_fn(Ablk):
         # Ablk: (m/d, n) local block.

@@ -51,10 +51,24 @@ def test_apply_q_qt_roundtrip():
     np.testing.assert_allclose(QtA[n:], 0.0, atol=1e-3)
 
 
-def test_caqr_row_block_guard():
-    A = np.random.default_rng(3).random((64, 32)).astype(np.float32)
-    with pytest.raises(ValueError):
-        caqr(A, block_size=32, row_blocks=8)  # 8-row blocks < 32-wide panel
+def test_caqr_row_block_clamp():
+    """An explicit row_blocks is a per-panel UPPER bound, clamped so every
+    leaf stays at least r tall (review finding: the unclamped request was
+    applied to the SHRINKING trailing panels too, so row_blocks > 1
+    raised on the last panel of every m ~= n input even though auto mode
+    handled the same matrix)."""
+    rng = np.random.default_rng(3)
+    # Over-requested L on a short matrix: clamped, not rejected.
+    A = rng.random((64, 32)).astype(np.float32)
+    Q, R = caqr(A, block_size=32, row_blocks=8)
+    err = np.linalg.norm(A - np.asarray(Q) @ np.asarray(R))
+    assert err / np.linalg.norm(A) < 1e-5
+    # SQUARE matrix with row_blocks > 1: the trailing 16x16 panel forced
+    # L -> 1 (pre-fix: ValueError on every square input).
+    B = rng.random((64, 64)).astype(np.float32)
+    Qb, Rb = caqr(B, block_size=16, row_blocks=2)
+    err = np.linalg.norm(B - np.asarray(Qb) @ np.asarray(Rb))
+    assert err / np.linalg.norm(B) < 1e-5
 
 
 def test_caqr_flagship_scale_compiles_fast():

@@ -138,3 +138,26 @@ def test_tsqr_leaf_method_validation():
         tsqr(A, method="nonsense")
     with pytest.raises(ValueError):
         tsqr(A, n_leaves=3)
+
+
+def test_tsqr_short_leaf_validation():
+    """Leaves shorter than n are rank-deficient and the reduction tree
+    propagates the defect SILENTLY — cholqr leaves returned all-NaN
+    factors with no canary and householder leaves crashed with an opaque
+    broadcast error (review finding, verified at exactly this config).
+    All entry points must reject it loudly."""
+    from mixedprecisionblockqr_tpu.parallel.tsqr import tsqr_batched
+
+    A = np.random.default_rng(6).random((256, 64)).astype(np.float32)
+    for method in ("cholqr2", "householder"):
+        with pytest.raises(ValueError, match="leaf height"):
+            tsqr(A, n_leaves=8, method=method)  # ceil(256/8)=32 < 64
+    with pytest.raises(ValueError, match="leaf height"):
+        tsqr_batched(A[None], n_leaves=8)
+
+
+def test_tsqr_sharded_short_leaf_validation():
+    mesh = make_mesh()
+    A = np.random.default_rng(7).random((256, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="leaf height"):
+        tsqr_sharded(jnp.asarray(A), mesh)  # 256/8 = 32 < 64
