@@ -84,30 +84,10 @@ def _split_bf16(a):
     return hi, lo
 
 
-def _dot3(a, b):
-    # Emulated Precision.HIGH (3-pass bf16 with fp32 accumulation): Mosaic
-    # rejects HIGH in-kernel, so build it from the split — a_hi b_hi +
-    # a_hi b_lo + a_lo b_hi (the lo*lo term is below fp32 roundoff).
-    # ~2x cheaper than HIGHEST's 6 passes; error class ~2^-16 per dot.
-    ah, al = _split_bf16(a)
-    bh, bl = _split_bf16(b)
-    return (
-        jnp.dot(ah, bh, preferred_element_type=jnp.float32)
-        + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
-        + jnp.dot(al, bh, preferred_element_type=jnp.float32)
-    )
-
-
-def _dot3_ta(a, b):
-    # a^T @ b at emulated HIGH (see _dot3).
-    dn = (((0,), (0,)), ((), ()))
-    ah, al = _split_bf16(a)
-    bh, bl = _split_bf16(b)
-    return (
-        jax.lax.dot_general(ah, bh, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(ah, bl, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(al, bh, dn, preferred_element_type=jnp.float32)
-    )
+# Emulated Precision.HIGH (3-pass bf16, fp32 accumulation) lives INLINE in
+# _tri_ns's mid-precision path, which shares the Dekker splits across the
+# iteration's three dots — there is deliberately no generic _dot3 helper
+# (an earlier one was dead code drifting from the real implementation).
 
 
 def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
@@ -424,6 +404,16 @@ def panel_qr_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        # Robust chains hold ~5 live m x r fp32 intermediates; past the
+        # 16 MB Mosaic scoped-vmem default (m*r*4*5 > 14M headroom) raise
+        # the per-kernel limit like bgs_group_fused — previously this
+        # kernel got no lift and large fused robust panels failed relay
+        # compile opaquely (review finding).
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if m * r * 4 * (5 if robust else 3) > 14 * 2**20
+            else None
         ),
         interpret=interpret,
     )(P.astype(jnp.float32))

@@ -195,7 +195,15 @@ def tri_cholqr(
                 L.T, jnp.eye(r, dtype=jnp.float32), lower=False
             )
 
-        X = jax.lax.cond(resid < 1e-4, lambda g: X, _direct, G)
+        # The chain reports the free ONE-BEHIND correction, which lags the
+        # final quadratic step by its square root — its SQUARE estimates
+        # the true residual (the repo-wide convention: 1.3e-4 one-behind
+        # measured on a converged panel whose true residual was 2e-7, see
+        # _poison_if_unconverged).  The raw value here falsely tripped
+        # the ~35us chol+solve fallback on healthy panels (review
+        # finding); a stalled chain (~6e-2) still squares to 3.6e-3 >>
+        # tol and takes the fallback.
+        X = jax.lax.cond(resid * resid < 1e-4, lambda g: X, _direct, G)
     t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))  # X^{-1} = X^T G
     if refine_iters > 0:
         # CholeskyQR2-style second pass: the Gram of the EXPLICIT Q1 = P X

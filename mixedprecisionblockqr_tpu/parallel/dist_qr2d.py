@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mixedprecisionblockqr_tpu.ops.policy import DTypePolicy, POLICY_FP32, matmul
-from mixedprecisionblockqr_tpu.parallel.dist_qr import _panel_reflector_cols
+from mixedprecisionblockqr_tpu.parallel.dist_qr import (
+    _MESHES,
+    _mesh_key,
+    _panel_reflector_cols,
+)
 from mixedprecisionblockqr_tpu.parallel.mesh import ROWS_AXIS
 
 _HI = jax.lax.Precision.HIGHEST
@@ -65,6 +69,11 @@ def _dist2d_local(
         + jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
     )
     mm_t = lambda a, b: matmul(a, b, in_dtype=policy.trailing,
+                               accum_dtype=policy.accum)
+    # Q^T accumulation honors the policy's q_update stage (the reference's
+    # TensorCore stage, independently settable) — review finding: it ran
+    # at policy.trailing, diverging from the 1-D driver's mm_q.
+    mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
                                accum_dtype=policy.accum)
 
     if loop_mode == "scan":
@@ -106,8 +115,8 @@ def _dist2d_local(
                     Y, jnp.matmul(Sinv.T, Gb, precision=_HI)
                 )
             if Qt_loc is not None:
-                Gq = jax.lax.psum(mm_t(Y.T, Qt_loc), rows_axis)
-                Qt_loc = Qt_loc - mm_t(
+                Gq = jax.lax.psum(mm_q(Y.T, Qt_loc), rows_axis)
+                Qt_loc = Qt_loc - mm_q(
                     Y, jnp.matmul(Sinv.T, Gq, precision=_HI)
                 )
             return A_loc, B_loc, Qt_loc
@@ -193,17 +202,21 @@ def _dist2d_local(
         )
 
         # --- trailing update on EVERY column shard: columns right of the
-        # panel only (masked locally by global column index).
-        glob_cols = my_col * wc + jax.lax.broadcasted_iota(
-            jnp.int32, (1, wc), 1
-        )[0]
-        trail_mask = (glob_cols >= lam + w)[None, :]
-        C = jnp.where(trail_mask, A_loc, 0.0)
-        G = jax.lax.psum(mm_t(Y.T, C), rows_axis)      # (w, wc) per col shard
-        M = jnp.matmul(Sinv.T, G, precision=_HI)
-        A_loc = jnp.where(
-            trail_mask, (A_loc - mm_t(Y, M)).astype(A_loc.dtype), A_loc
-        )
+        # panel only (masked locally by global column index).  Static
+        # skip for the FINAL panel — its trail_mask is all-False on every
+        # shard, so the psum + two GEMMs were pure dead work (review
+        # finding; the 1-D driver has the same guard).
+        if lam + w < n:
+            glob_cols = my_col * wc + jax.lax.broadcasted_iota(
+                jnp.int32, (1, wc), 1
+            )[0]
+            trail_mask = (glob_cols >= lam + w)[None, :]
+            C = jnp.where(trail_mask, A_loc, 0.0)
+            G = jax.lax.psum(mm_t(Y.T, C), rows_axis)  # (w, wc) per shard
+            M = jnp.matmul(Sinv.T, G, precision=_HI)
+            A_loc = jnp.where(
+                trail_mask, (A_loc - mm_t(Y, M)).astype(A_loc.dtype), A_loc
+            )
 
         if B_loc is not None:
             Gb = jax.lax.psum(mm_t(Y.T, B_loc), rows_axis)
@@ -211,8 +224,8 @@ def _dist2d_local(
 
         if Qt_loc is not None:
             # Q^T <- H^T Q^T: same one-psum pattern as the trailing update.
-            Gq = jax.lax.psum(mm_t(Y.T, Qt_loc), rows_axis)
-            Qt_loc = Qt_loc - mm_t(
+            Gq = jax.lax.psum(mm_q(Y.T, Qt_loc), rows_axis)
+            Qt_loc = Qt_loc - mm_q(
                 Y, jnp.matmul(Sinv.T, Gq, precision=_HI)
             )
 
@@ -224,20 +237,13 @@ def _dist2d_local(
     return A_loc, B_loc, Qt_loc
 
 
-_MESHES2D = {}
-
-
-def _mesh_key(mesh: Mesh):
-    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
-    _MESHES2D[key] = mesh
-    return key
-
-
 @lru_cache(maxsize=None)
 def _jitted_2d(m, n, block_size, policy, with_b, want_q, rows_axis,
                cols_axis, key, panel_method, loop_mode="unroll",
                on_tpu=False):
-    mesh = _MESHES2D[key]
+    # Mesh interning shared with the 1-D driver (_mesh_key/_MESHES —
+    # review finding: this module kept a duplicate copy of both).
+    mesh = _MESHES[key]
 
     def fn(A, B, Qt):
         A_out, B_out, Qt_out = _dist2d_local(
@@ -294,6 +300,25 @@ def dist_block_qr_2d(
     dr, dc = mesh.shape[rows_axis], mesh.shape[cols_axis]
     if m % dr or n % dc:
         raise ValueError(f"shape {A.shape} must divide over mesh ({dr},{dc})")
+    if (m // dr) % min(block_size, n):
+        # Same invariant the 1-D driver enforces (dist_qr.py): a panel
+        # whose diagonal block straddles two row shards would be CLAMPED
+        # by _panel_reflector_cols' dynamic slice — the Yamamoto S and
+        # sign fix would build from the wrong rows and the factorization
+        # would be silently wrong (review finding: the 2-D driver dropped
+        # this check).
+        raise ValueError(
+            f"block_size {min(block_size, n)} must divide per-device rows "
+            f"{m // dr} (panel diagonal blocks may not straddle row shards)"
+        )
+    if mode == "complete" and m % dc:
+        # Q^T starts as eye(m) sharded P(rows, cols): m must divide over
+        # BOTH axes (review finding: failed deep inside shard_map with an
+        # obscure divisibility error otherwise).
+        raise ValueError(
+            f"mode='complete' shards Q^T (m x m) over both axes: m = {m} "
+            f"must divide over {cols_axis} ({dc})"
+        )
     if panel_method.startswith("cholqr") and (m // dr) < 2 * min(block_size, n):
         # Same square-leaf hazard as the 1-D driver (dist_qr.py): a
         # CholeskyQR leaf with per-device aspect < 2 goes rank-deficient
