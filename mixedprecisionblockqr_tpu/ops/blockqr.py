@@ -654,6 +654,16 @@ def _block_qr_grouped(
                     if polar_iters is not None
                     else tri_iters_for_aspect((m - lam) / r)
                 )
+                if lam == 0:
+                    # Head panel factors RAW data — correlated inputs give
+                    # it an outlier-spectrum Gram the aspect budget cannot
+                    # converge (ops/polar.py::tri_head_iters; later panels
+                    # see trailing-updated, decorrelated columns).
+                    from mixedprecisionblockqr_tpu.ops.polar import (
+                        tri_head_iters,
+                    )
+
+                    iters = tri_head_iters(iters)
                 if on_tpu:
                     from mixedprecisionblockqr_tpu.ops.pallas.ns import (
                         tri_cholqr_fused,
@@ -905,6 +915,7 @@ def _block_qr_bgs(
     from mixedprecisionblockqr_tpu.ops.polar import (
         tri_cholqr,
         tri_cholqr_robust,
+        tri_head_iters,
         tri_iters_for_aspect,
     )
     from mixedprecisionblockqr_tpu.ops.pallas.ns import (
@@ -962,6 +973,17 @@ def _block_qr_bgs(
     # of trailing panels on the shifted three-pass chain (default
     # max(2, nb // 8)); the poison canary guards aggressive settings.
     base_iters = tri_iters_for_aspect(m / r) + iters_delta
+
+    def _plain_iters(j: int) -> int:
+        # Panel 0 factors RAW (unprojected) data: correlated inputs (the
+        # reference's positive-uniform generator, Jacobians) give it an
+        # outlier-spectrum Gram ~1e3 cond that the aspect budgets cannot
+        # converge — the head boost covers it (ops/polar.py::
+        # tri_head_iters; every later panel is projected first and drops
+        # to O(1) cond).
+        if j == 0:
+            return tri_head_iters(base_iters)
+        return base_iters if j < 0.75 * nb else base_iters + tail_bump
     # Robust-tail count: ~1 per 12 panels, minimum 1 (round-4 calibration:
     # at 2048^2/nb=16 ONE robust panel is sufficient — quality identical,
     # 298 vs 337 us — and the 2nd-from-last panel's plain chain at
@@ -1065,10 +1087,7 @@ def _block_qr_bgs(
             # chain (24 iters) was tried instead and NaN-poisoned at
             # 1024^2 — the corner cond(G) reaches 1e7-1e8 where only the
             # shift converges.
-            iters_t = tuple(
-                base_iters if j < 0.75 * nb else base_iters + tail_bump
-                for j in js
-            )
+            iters_t = tuple(_plain_iters(j) for j in js)
             robust_t = robust_js
             Pg = Pbuf.astype(jnp.float32)
             # bgs1: all tall dots at trailing precision (max throughput).
@@ -1152,8 +1171,7 @@ def _block_qr_bgs(
             elif use_fused:
                 Qk, t, resid = panel_qr_fused(
                     P,
-                    iters=(base_iters if j < 0.75 * nb
-                           else base_iters + tail_bump),
+                    iters=_plain_iters(j),
                     gram_hi=gram_prec == _HI,
                     chain_mid=chain_mid,
                     interpret=interp,
@@ -1165,8 +1183,7 @@ def _block_qr_bgs(
                 G = jnp.matmul(P.T, P, precision=gram_prec)
                 X, t, resid = ns_chain(
                     G,
-                    iters=(base_iters if j < 0.75 * nb
-                           else base_iters + tail_bump),
+                    iters=_plain_iters(j),
                     chain_mid=chain_mid,
                     interpret=interp,
                 )
@@ -1175,8 +1192,7 @@ def _block_qr_bgs(
             else:
                 Qk, t, _, resid = tri_cholqr(
                     P,
-                    iters=(base_iters if j < 0.75 * nb
-                           else base_iters + tail_bump),
+                    iters=_plain_iters(j),
                     sign_fix=False,
                     gram_precision=gram_prec,
                     check=False,

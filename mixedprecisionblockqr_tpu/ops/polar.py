@@ -83,6 +83,34 @@ def tri_iters_for_aspect(aspect: float) -> int:
     return 9
 
 
+def tri_head_iters(iters: int) -> int:
+    """Chain budget for a driver's FIRST panel: ``iters + 6``.
+
+    The head panel is the only block that factors RAW data — every later
+    panel has been projected (BGS) or trailing-updated (reflector drivers)
+    against the finished columns first, which removes the shared component
+    of correlated data.  For positively-correlated inputs — the reference's
+    own uniform [0,1) generator (``h_generate_random_matrix``,
+    ``Cuda/mmult.cuh:38-68``), SLAM Jacobians, image patches — the head
+    panel's Jacobi-scaled Gram has an OUTLIER spectrum: one eigenvalue
+    ~ (1 + (r-1) rho) and a tight bulk at ~(1 - rho), i.e.
+    cond(M0) ~ r rho/(1 - rho) ~ 1e3 that diagonal scaling cannot touch
+    (measured 8.8e2 at 1024x128 uniform; the same panel PROJECTED drops to
+    cond 5.9).  The spectral-guard init then lands the whole bulk at
+    1/cond(M0), and the escape phase (x2.25/iter plain, x3.06 for the
+    omega burst) needs ~10 iterations where the aspect budgets give 6-7 —
+    the chain STALLS (measured one-behind 0.5) and the poison canary
+    rightly trips on the reference's default test input class.
+
+    +6 covers cond(M0) ~ 5e3-class at the aspect-16 base (needed: 10 at
+    8.8e2, 12 at 4.7e3, 14 at 1.7e4 — experiments/r7_head_calib.py;
+    smaller aspects have higher bases and reach ~1e4) for the cost of 6
+    extra r x r in-kernel dots ONCE per factorization (~3 us at the
+    2048^2 headline).  Beyond the boosted basin the canary still trips
+    and ``check='sync'`` retries robustly — unchanged."""
+    return iters + 6
+
+
 def ns_omega_iters(iters: int) -> int:
     """How many EARLY iterations of a triangular-NS chain run over-relaxed
     (omega = 1.5): ``min(4, max(0, iters - 4))``.

@@ -357,7 +357,18 @@ def _dist_bgs_local(
                     R = R.at[:lam, lam : lam + r].add(dW)
                     worst_resid = jnp.maximum(worst_resid, rs * rs)
             else:
-                iters = base_iters if j < 0.75 * nb else base_iters + 4
+                if j == 0:
+                    # Head panel factors RAW data: correlated inputs give
+                    # it an outlier-spectrum Gram (~1e3 cond) the aspect
+                    # budget cannot converge — same head boost as the
+                    # single-chip drivers (ops/polar.py::tri_head_iters).
+                    from mixedprecisionblockqr_tpu.ops.polar import (
+                        tri_head_iters,
+                    )
+
+                    iters = tri_head_iters(base_iters)
+                else:
+                    iters = base_iters if j < 0.75 * nb else base_iters + 4
                 G = psum_gram(P_loc, P_loc)
                 X, t, resid = tri_chain(G, iters)
                 Qk = jnp.matmul(P_loc, X, precision=_HI)
@@ -512,13 +523,19 @@ def _dist_bgs_scan_local(
         return Qk, t, 0.01 * resid
 
     def plain_panel(P_loc):
-        # Well-conditioned head panels: ONE Gram collective + the plain
-        # NS chain (vs the robust scheme's 3) — one program serves every
-        # pre-tail step, so the chain is sized for the squarest of them
-        # (base + bump, matching the unrolled driver's late-panel rule).
-        from mixedprecisionblockqr_tpu.ops.polar import tri_iters_for_aspect
+        # Well-conditioned pre-tail panels: ONE Gram collective + the plain
+        # NS chain (vs the robust scheme's 3).  One program serves every
+        # pre-tail step, so the chain is sized for the WORST of them: the
+        # unprojected head panel, whose Gram has an outlier spectrum
+        # (~1e3 cond) on correlated inputs (ops/polar.py::tri_head_iters
+        # — covers the late-panel base+4 rule too, and the extra dots are
+        # noise against the step's Qbuf traffic).
+        from mixedprecisionblockqr_tpu.ops.polar import (
+            tri_head_iters,
+            tri_iters_for_aspect,
+        )
 
-        iters = tri_iters_for_aspect(m / r) + 4
+        iters = tri_head_iters(tri_iters_for_aspect(m / r))
         G = psum_gram(P_loc, P_loc)
         if on_tpu:
             from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain

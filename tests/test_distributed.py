@@ -400,6 +400,19 @@ def test_dist_bgs_mixed_policy(mesh):
     assert rep.all_ok, str(rep)
 
 
+def test_dist_bgs_posuni_head_panel(mesh):
+    """Round-7 regression, distributed mirror: POSITIVE-uniform input (the
+    reference's default generator — no centering) whose unprojected head
+    panel's outlier-spectrum Gram (cond(M0) ~ 4e2 at 512x64) out-conds the
+    aspect budget; pre-fix the dist bgs1 tier NaN-poisoned on it."""
+    A = np.random.default_rng(14).random((512, 256)).astype(np.float32)
+    Q, R = dist_block_qr(A, mesh, block_size=64, policy=POLICY_MIXED,
+                         mode="reduced", panel_method="bgs1")
+    assert np.isfinite(np.asarray(R)[0, 0]), "dist head panel poisoned"
+    rep = metrics.evaluate(A, Q, np.asarray(R), precision_bits=8)
+    assert rep.all_ok, str(rep)
+
+
 def test_dist_bgs_shape_guards(mesh):
     A = np.random.default_rng(14).random((128, 100)).astype(np.float32)
     with pytest.raises(ValueError, match="block_size"):

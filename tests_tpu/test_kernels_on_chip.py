@@ -429,3 +429,22 @@ def test_quality_ladder_tight_gates_on_chip():
         assert rep.orthogonality < 1e-5, (
             f"{quality}: orth {rep.orthogonality:.2e} must beat the bf16 "
             "storage floor by orders of magnitude (fp32-Q regression)")
+
+
+def test_posuni_head_panel_no_poison_on_chip():
+    """Round-7 regression: the reference's DEFAULT input class (uniform
+    [0,1) — positively correlated columns) poisoned EVERY unrolled NS fast
+    tier on chip: the unprojected head panel's outlier-spectrum Gram
+    (cond(M0) ~ 9e2 at 1024x128) stalls the aspect-budget chain (measured
+    one-behind 0.5).  The head boost (ops/polar.py::tri_head_iters) must
+    converge it inside the compiled group kernel."""
+    import mixedprecisionblockqr_tpu as mpq
+
+    a = np.random.default_rng(2).random((1024, 1024), dtype=np.float32)
+    Q, R = mpq.block_qr(a, 128, mpq.POLICY_MIXED, panel_method="bgs1",
+                        check="defer")
+    Rn = np.asarray(R, np.float32)
+    assert np.isfinite(Rn[0, 0]), "posuni head panel poisoned on chip"
+    rep = mpq.metrics.evaluate(a, np.asarray(Q, np.float32), Rn,
+                               precision_bits=8)
+    assert rep.all_ok, str(rep)
