@@ -261,6 +261,15 @@ def _block_qr_traced(
                                accum_dtype=policy.accum)
     mm_q = lambda a, b: matmul(a, b, in_dtype=policy.q_update,
                                accum_dtype=policy.accum)
+    # NaN funnel into the poison canary: a rank-deficient panel NaNs its
+    # Cholesky (or the Yamamoto S-inverse), but a MID-matrix breakdown
+    # never reaches R[0,0] on its own — panel 0's R block is written
+    # before the NaN exists, so `check='sync'` and checked_qr missed it
+    # (round-7 battery: zero column at 300 of 512 left R[0,0] finite with
+    # NaN R/Q bodies).  `sum(X * 0)` is 0 for finite X and NaN otherwise
+    # (0*inf = 0*NaN = NaN), costs one r x r elementwise pass per panel,
+    # and _poison_if_unconverged(NaN) poisons (NaN < tol is False).
+    worst_resid = jnp.float32(0.0)
 
     def _sub_reflector(cols, lam_, w_):
         """CholeskyQR1 + Yamamoto of one sub-panel (rows lam_:, given the
@@ -322,6 +331,10 @@ def _block_qr_traced(
                 ],
                 axis=0,
             )
+            worst_resid = jnp.maximum(
+                worst_resid,
+                jnp.sum(Sc * 0.0) + jnp.sum(R1 * 0.0) + jnp.sum(R2 * 0.0),
+            )
 
             if lam + 2 * r < n:
                 C2 = A[lam:, lam + 2 * r :]
@@ -369,6 +382,13 @@ def _block_qr_traced(
             else:
                 V, T, Rp = panel_factor(panel)
             A = A.at[lam:, lam : lam + w].set(Rp)
+            # Funnel Rp, not (only) T: panel_factor's masked reflector
+            # arithmetic SWALLOWS an input NaN into finite V/T while the
+            # NaN stays in Rp (measured: NaN at [3,5] of a 256^2 gave
+            # finite V/T and NaN Rp).
+            worst_resid = jnp.maximum(
+                worst_resid, jnp.sum(Rp * 0.0) + jnp.sum(T * 0.0)
+            )
 
             def left(X):
                 return apply_block_reflector_left_t(X, V, T, policy)
@@ -396,6 +416,9 @@ def _block_qr_traced(
             pad = jnp.zeros((m - lam - w, w), A.dtype)
             A = A.at[lam:, lam : lam + w].set(
                 jnp.concatenate([Rp.astype(A.dtype), pad], axis=0)
+            )
+            worst_resid = jnp.maximum(
+                worst_resid, jnp.sum(Sinv * 0.0) + jnp.sum(Rp * 0.0)
             )
 
             def left(X):
@@ -426,6 +449,7 @@ def _block_qr_traced(
         lam += w
 
     R_full = jnp.triu(A.astype(policy.accum))
+    R_full, Q, B = _poison_if_unconverged(worst_resid, R_full, Q, B)
     return R_full, Q, B
 
 
@@ -774,6 +798,28 @@ def _group_kernel_fits(m0: int, r: int, group_panels: int) -> bool:
     return (
         m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1"
     ) and m0 * r * group_panels * 4 <= 10 * 2**20
+
+
+def _sync_retry_method(panel_method, loop_mode, policy, mode, m, n):
+    """The robust retry target for ``check='sync'`` — or None when the
+    primary method already IS the most robust one available for its loop
+    mode (retrying would repeat the same program).
+
+    Unrolled: 'householder' (exact for any input incl. rank-deficient —
+    reflector zero-norm skip).  Scan: the Householder loop would re-create
+    the compile explosion scan exists to avoid, so the all-robust scan-BGS
+    tier (shifted three-pass chains — converges for any FULL-RANK
+    spectrum; exactly singular inputs still poison and the caller raises
+    with the fix named); 'cholqr2s' where BGS's shape/policy contract
+    doesn't hold (complete-Q with m > n, fp64)."""
+    if loop_mode == "scan":
+        bgs_ok = (mode != "complete" or m == n) and (
+            jnp.dtype(policy.panel) != jnp.float64
+        )
+        retry = "bgs" if bgs_ok else "cholqr2s"
+    else:
+        retry = "householder"
+    return None if retry == panel_method else retry
 
 
 def _poison_if_unconverged(worst_resid, R_full, Q, B, tol: float = 1e-4):
@@ -1642,27 +1688,42 @@ def block_qr(
         block_size, policy, want_q, False, panel_method, loop_mode, _on_tpu(),
         group_panels,
     )(A)
-    if (
-        check == "sync"
-        and panel_method in _NS_TIERS
-        and not bool(jnp.isfinite(R_full[0, 0]))
-    ):
-        # NaN canary fired (NS under-convergence on hostile data): rerun
-        # through the unconditionally robust reflector tier.  cholqr1 is
-        # NOT a valid retry target — its Cholesky NaNs on exactly the
-        # indefinite/ill-conditioned Grams that trigger poisoning
-        # (round-3 ADVICE item 1).
-        retry_pm = "cholqr2s" if loop_mode == "scan" else "householder"
+    if check == "sync" and not bool(jnp.isfinite(R_full[0, 0])):
+        # NaN canary fired: NS under-convergence, OR a cholqr tier's
+        # Cholesky breaking on a (near-)rank-deficient Gram (round-7: the
+        # sync guard used to cover only the NS tiers, so cholqr1/cholqr2s
+        # violated the 'sync always retries' contract on singular inputs;
+        # _block_qr_traced now funnels per-panel non-finiteness into the
+        # canary so ALL tiers are detected here).  Rerun through the
+        # robust tier: 'householder' handles rank deficiency exactly
+        # (reflector zero-norm skip); in scan mode the Householder loop
+        # would re-create the compile explosion the scan exists to avoid,
+        # so retry the all-robust scan-BGS tier (shifted three-pass
+        # chains: any FULL-RANK hostile spectrum converges; exactly
+        # singular inputs still poison -> the raise below names the fix).
+        # cholqr1 is NOT a valid retry target — its Cholesky NaNs on
+        # exactly the Grams that trigger poisoning (round-3 ADVICE 1).
+        retry_pm = _sync_retry_method(
+            panel_method, loop_mode, policy, mode, m, n
+        )
+        from mixedprecisionblockqr_tpu.utils.checks import NonFiniteError
+
+        if retry_pm is None:
+            raise NonFiniteError(
+                f"block_qr: non-finite factorization via {panel_method!r} "
+                "— the input likely contains NaN/Inf"
+            )
         R_full, Q, _ = _jitted_driver(
             block_size, policy, want_q, False, retry_pm, loop_mode,
             _on_tpu(),
         )(A)
         if not bool(jnp.isfinite(R_full[0, 0])):
-            from mixedprecisionblockqr_tpu.utils.checks import NonFiniteError
-
             raise NonFiniteError(
                 f"block_qr: non-finite factorization even via {retry_pm!r} "
-                "— the input likely contains NaN/Inf"
+                "— the input contains NaN/Inf, or is numerically "
+                "rank-deficient (use panel_method='householder' with "
+                "loop_mode='unroll', or pivoted_qr/lstsq for rank-revealing "
+                "handling)"
             )
         if Q is not None and panel_method in ("bgs", "bgs2"):
             # Dtype stability: the reorth tiers' primary path returns Q
@@ -1714,17 +1775,27 @@ def block_qr_qtb(
         block_size, policy, False, True, panel_method, "unroll", _on_tpu(),
         group_panels,
     )(A, B.astype(policy.panel))
-    if (
-        check == "sync"
-        and panel_method in _NS_TIERS
-        and not bool(jnp.isfinite(R_full[0, 0]))
-    ):
-        # NaN-poisoned: retry via the robust reflector tier (NOT cholqr1,
-        # whose Cholesky NaNs on the same hostile Grams — round-3 ADVICE).
+    if check == "sync" and not bool(jnp.isfinite(R_full[0, 0])):
+        # NaN-poisoned (any tier — NS under-convergence or a cholqr
+        # Cholesky breakdown, see block_qr): retry via the robust
+        # reflector tier (NOT cholqr1, whose Cholesky NaNs on the same
+        # hostile Grams — round-3 ADVICE).
+        from mixedprecisionblockqr_tpu.utils.checks import NonFiniteError
+
+        if panel_method == "householder":
+            raise NonFiniteError(
+                "block_qr_qtb: non-finite factorization via 'householder' "
+                "— the input likely contains NaN/Inf"
+            )
         R_full, _, QtB = _jitted_driver(
             block_size, policy, False, True, "householder", "unroll",
             _on_tpu(),
         )(A, B.astype(policy.panel))
+        if not bool(jnp.isfinite(R_full[0, 0])):
+            raise NonFiniteError(
+                "block_qr_qtb: non-finite factorization even via "
+                "'householder' — the input likely contains NaN/Inf"
+            )
     QtB = QtB.astype(policy.accum)
     if squeeze:
         QtB = QtB[:, 0]

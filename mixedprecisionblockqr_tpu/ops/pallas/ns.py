@@ -60,13 +60,19 @@ def _dot_ta(a, b):
 
 
 def _norm2_est(M):
-    # Upper estimate of ||M||_2: 1.05 x two power-iteration steps.
-    v0 = jnp.sum(M, axis=1, keepdims=True)          # (r, 1)
-    v1 = _dot(M, v0)
-    v2 = _dot(M, v1)
+    # Upper estimate of ||M||_2: 1.05 x two power-iteration steps, computed
+    # SCALE-NORMALIZED (mirror of ops/polar.py::_spectral_guard): the
+    # estimate ||M v1||/||v1|| is scale-invariant, but the unnormalized
+    # form overflows fp32 at ||M|| >~ 3e8 (the v1*v1 sum squares ~r*||M||^2
+    # values) — Grams of physically-scaled panels (column norm ~1e4+) hit
+    # it and the resulting inf/inf NaN'd the whole chain (round 7).
+    a = jnp.maximum(jnp.max(jnp.abs(M)), jnp.finfo(jnp.float32).tiny)
+    Ms = M * (1.0 / a)
+    v0 = jnp.sum(Ms, axis=1, keepdims=True)         # (r, 1)
+    v1 = _dot(Ms, v0)
     n1 = jnp.sqrt(jnp.sum(v1 * v1))
-    n2 = jnp.sqrt(jnp.sum(v2 * v2))
-    return 1.05 * n2 / (n1 + 1e-30)
+    v2 = _dot(Ms, v1 * (1.0 / (n1 + 1e-30)))
+    return (1.05 * a) * jnp.sqrt(jnp.sum(v2 * v2))
 
 
 def _dot_bf16(a, b):

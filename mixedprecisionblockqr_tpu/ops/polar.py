@@ -53,10 +53,23 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _spectral_guard(M: jax.Array) -> jax.Array:
-    """Upper estimate of ||M||_2 via two power-iteration matvecs, x1.05."""
-    v1 = jnp.matmul(M, jnp.sum(M, axis=1, keepdims=True), precision=_HI)
-    v2 = jnp.matmul(M, v1, precision=_HI)
-    return 1.05 * jnp.linalg.norm(v2) / (jnp.linalg.norm(v1) + 1e-30)
+    """Upper estimate of ||M||_2 via two power-iteration matvecs, x1.05.
+
+    Computed SCALE-NORMALIZED (divide by max|M| first, renormalize the
+    intermediate vector): the estimate ||M v1|| / ||v1|| is scale-invariant,
+    but the naive unnormalized form overflows fp32 for ||G|| >~ 1e13 — a
+    Gram of panel columns with norm ~3e6, i.e. ANY physically-scaled input
+    (round-7 find: uniform x 1e6 data NaN'd every NS tier through
+    scale = rsqrt(inf/inf); the in-kernel mirror ``ops/pallas/ns.py::
+    _norm2_est`` overflowed even earlier via an unscaled sum of squares).
+    The normalized intermediates are bounded by r^1.5 regardless of
+    scale, and tiny inputs no longer underflow to a 0/0 either."""
+    a = jnp.maximum(jnp.max(jnp.abs(M)), jnp.finfo(jnp.float32).tiny)
+    Ms = M / a
+    v1 = jnp.matmul(Ms, jnp.sum(Ms, axis=1, keepdims=True), precision=_HI)
+    n1 = jnp.linalg.norm(v1)
+    v2 = jnp.matmul(Ms, v1 / (n1 + 1e-30), precision=_HI)
+    return 1.05 * a * jnp.linalg.norm(v2)
 
 
 def tri_iters_for_aspect(aspect: float) -> int:

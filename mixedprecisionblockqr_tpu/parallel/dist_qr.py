@@ -1040,11 +1040,27 @@ def dist_block_qr(
         if not bool(jnp.isfinite(R[0, 0])):
             # NaN canary (NS under-convergence on hostile data): transparent
             # retry through the robust reflector tier, mirroring block_qr.
-            pm = "cholqr2s" if h >= 2 * min(block_size, n) else "householder"
-            return dist_block_qr(
+            # 'householder' (not cholqr2s — round-7: its leaf Cholesky NaNs
+            # on exactly the rank-deficient inputs that poison the BGS
+            # tiers, so the old retry returned NaN with no further check).
+            out = dist_block_qr(
                 A, mesh, block_size=block_size, policy=policy, axis=axis,
-                mode=mode, b=b, panel_method=pm, loop_mode=loop_mode,
+                mode=mode, b=b, panel_method="householder",
+                loop_mode=loop_mode,
             )
+            R_retry = out[1] if isinstance(out, tuple) and mode != "r" else (
+                out[0] if isinstance(out, tuple) else out
+            )
+            if not bool(jnp.all(jnp.isfinite(R_retry))):
+                from mixedprecisionblockqr_tpu.utils.checks import (
+                    NonFiniteError,
+                )
+
+                raise NonFiniteError(
+                    "dist_block_qr: non-finite factorization even via "
+                    "'householder' — the input likely contains NaN/Inf"
+                )
+            return out
         if mode == "r":
             return (R, QtB) if b is not None else R
         # Reorth tiers ('bgs'/'bgs2') return Q at accumulation precision —
