@@ -1081,6 +1081,30 @@ def _block_qr_bgs(
     R = jnp.zeros((n, n), jnp.float32)
     qtb = [] if B is not None else None
     qcols = []
+    # Reorth tiers ('bgs'/'bgs2', the quality-ladder rungs) return Q at
+    # accumulation precision: their whole point is orthogonality, and a
+    # bf16 Q residency rounds every entry to 2^-9 — max|Q^T Q - I| lands
+    # exactly at the bf16 STORAGE floor (~4.4e-4 at 2048, measured) no
+    # matter how precise the scrub was.  The compact q_store residency is
+    # the bgs1 traffic lever; the ladder pays fp32 output for its quality.
+    q_dtype = policy.accum if reorth else (policy.q_store or policy.accum)
+    # Fast tiers under a compact q_store cast each group's Q ONCE, right
+    # after its kernel: the inter-group projection (mm_t) and the Q
+    # assembly both consume that same bf16 buffer, instead of XLA casting
+    # the fp32 Qg for the projection AND re-reading all the fp32 qcols for
+    # the final concatenate+astype (~35 us of converts + copies at 2048^2
+    # — the round-8 glue trim; numerically identical, the casts commute).
+    cast_early = (
+        not reorth and jnp.dtype(q_dtype) != jnp.dtype(policy.accum)
+    )
+    # Fast tiers assemble Q by in-place DUS into one preallocated buffer
+    # instead of a final jnp.concatenate: XLA lowers the concatenate of g
+    # (m, gw) group blocks into g full-size pads plus a combine (~3x the
+    # necessary write traffic at 2048^2, visible as two 8 MB pads in the
+    # optimized HLO), while static-index `.at[].set` chains onto a zeros
+    # buffer update in place.  Reorth tiers keep the qcols list — their
+    # per-group scrubs need the concatenated prefix anyway.
+    Qacc = jnp.zeros((m, n), q_dtype) if (want_q and not reorth) else None
 
     # Post-FACTORIZATION rescrub for the robust tail panels — the shared
     # D9 helper (``_rescrub_panel``; round-5b ladder-floor isolation,
@@ -1172,8 +1196,12 @@ def _block_qr_bgs(
                     R = R.at[rob0:g_end, rob0:g_end].set(t2)
                     Qg = (jnp.concatenate([Qg[:, :k0], q2], axis=1)
                           if k0 else q2)
+            if cast_early:
+                Qg = Qg.astype(q_dtype)
             if B is not None:
                 qtb.append(mm_t(Qg.T, B))
+            if Qacc is not None:
+                Qacc = Qacc.at[:, lam_g:g_end].set(Qg.astype(q_dtype))
             qcols.append(Qg)
             if g_end < n:
                 G1 = mm_t(Qg.T, T)
@@ -1256,8 +1284,12 @@ def _block_qr_bgs(
                     (C - mm_e(Qk, G1)).astype(Pbuf.dtype)
                 )
                 R = R.at[lam : lam + r, lam + r : g_end].set(G1)
+            if cast_early:
+                Qk = Qk.astype(q_dtype)
             if B is not None:
                 qtb.append(mm_t(Qk.T, B))
+            if Qacc is not None:
+                Qacc = Qacc.at[:, lam : lam + r].set(Qk.astype(q_dtype))
             qcols.append(Qk)
         if g_end < n:
             # one wide projection per group with the concatenated group Q
@@ -1271,15 +1303,19 @@ def _block_qr_bgs(
         jnp.concatenate([R, jnp.zeros((m - n, n), R.dtype)], 0)
         if m > n else R
     )
-    R_full = jnp.triu(R_full.astype(policy.accum))
-    # Reorth tiers ('bgs'/'bgs2', the quality-ladder rungs) return Q at
-    # accumulation precision: their whole point is orthogonality, and a
-    # bf16 Q residency rounds every entry to 2^-9 — max|Q^T Q - I| lands
-    # exactly at the bf16 STORAGE floor (~4.4e-4 at 2048, measured) no
-    # matter how precise the scrub was.  The compact q_store residency is
-    # the bgs1 traffic lever; the ladder pays fp32 output for its quality.
-    q_dtype = policy.accum if reorth else (policy.q_store or policy.accum)
-    Q = jnp.concatenate(qcols, axis=1).astype(q_dtype) if want_q else None
+    # No jnp.triu here (a full n x n mask pass, ~24 us / 16 MB at 2048^2):
+    # unlike the in-A drivers (whose below-diagonal holds reflector or
+    # trailing junk and MUST be masked), this R is assembled from exact
+    # pieces — zeros init, r x r diagonal blocks that every NS/rescrub
+    # path masks with `where(cols >= rows, ..., 0)` before returning, and
+    # strictly-above-diagonal projection blocks.  Guarded by
+    # tests/test_blockqr.py::test_bgs_r_exactly_triangular.
+    R_full = R_full.astype(policy.accum)
+    if Qacc is not None:
+        Q = Qacc
+    else:
+        Q = (jnp.concatenate(qcols, axis=1).astype(q_dtype)
+             if want_q else None)
     Bout = jnp.concatenate(qtb, axis=0) if B is not None else None
 
     R_full, Q, Bout = _poison_if_unconverged(worst_resid, R_full, Q, Bout)

@@ -605,3 +605,24 @@ def test_group_kernel_vmem_gating():
     assert not _group_kernel_fits(3072, 128, 8)  # 12M buffer > 10M quota
     assert not _group_kernel_fits(8192, 128, 4)  # m-cap (robust-tail VMEM)
     assert _group_kernel_fits(4096, 128, 4)      # quota ok under the cap
+
+
+@pytest.mark.parametrize("pm", ["bgs1", "bgs2", "bgs"])
+@pytest.mark.parametrize("m,n", [(256, 256), (192, 128)])
+def test_bgs_r_exactly_triangular(pm, m, n):
+    """The BGS drivers assemble R from exact pieces (zeros init, masked
+    r x r diagonal blocks, strictly-above projection blocks) so the
+    round-8 glue trim dropped the final full-matrix ``jnp.triu`` (~24 us
+    / 16 MB at 2048^2).  This is the guard: every below-diagonal entry
+    must be EXACTLY zero — any new diagonal-block producer that forgets
+    its `where(cols >= rows, ..., 0)` mask fails here, not in prod."""
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    for policy in (POLICY_MIXED_FAST, POLICY_FP32):
+        A = _rand(m, n, seed=m + len(pm))
+        Q, R = block_qr(A, block_size=32, policy=policy, mode="reduced",
+                        panel_method=pm, group_panels=4)
+        Rnp = np.asarray(R, dtype=np.float64)
+        assert np.all(np.tril(Rnp, -1) == 0.0), (
+            f"{pm} {policy}: max |tril| = {np.abs(np.tril(Rnp, -1)).max()}"
+        )
