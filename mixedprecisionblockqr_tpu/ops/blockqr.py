@@ -795,9 +795,10 @@ def _group_kernel_fits(m0: int, r: int, group_panels: int) -> bool:
     experiments.  Shared by the driver and the boundary-behavior tests."""
     import os as _os
 
+    quota_mb = int(_os.environ.get("MPBQR_GROUP_QUOTA_MB", "10"))
     return (
         m0 <= 5120 or _os.environ.get("MPBQR_GROUP_ANY_M") == "1"
-    ) and m0 * r * group_panels * 4 <= 10 * 2**20
+    ) and m0 * r * group_panels * 4 <= quota_mb * 2**20
 
 
 def _sync_retry_method(panel_method, loop_mode, policy, mode, m, n):

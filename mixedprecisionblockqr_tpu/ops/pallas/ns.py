@@ -725,8 +725,17 @@ def bgs_group_fused(
         # failed relay compile at 4096^2).
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if m > 3072
-            and (any(robust) or not bf16_dots or m * w * 4 >= 8 * 2**20)
+            if (
+                m > 3072
+                and (any(robust) or not bf16_dots or m * w * 4 >= 8 * 2**20)
+            )
+            # Whole-factorization groups (w -> n): the aliased buffer plus
+            # the w x w Rg block alone exceed the 16 MB stack long before
+            # m does (g16 at 2048^2: 16 + 16 MB).  The g8 headline config
+            # (8 + 4 MB) stays under the old default on purpose — an
+            # unconditionally raised limit lets XLA assume less VMEM
+            # headroom around the kernel.
+            or (m * w + w * w) * 4 > 12 * 2**20
             else None
         ),
         interpret=interpret,
