@@ -213,9 +213,12 @@ def lstsq(
         solve is ill-posed (1/R_ii blows up): the solver transparently
         re-routes through the column-pivoted path and returns the MIN-NORM
         solution.  Pass ``rcond=0`` to disable the check.  The reroute's
-        price (measured on one v5e chip, BENCH_NOTES round-5): pivoted_qr
-        3.1 / 7.6 / 32.9 ms at n = 512 / 1024 / 2048 — ~30-130x the
-        blocked fast tier, paid only on rank-deficient inputs.
+        price (one v5e chip, BENCH_NOTES round-8): the RQRCP tier that
+        ``pivoted_qr_qtb(method='auto')`` takes at n >= 1024 costs
+        2.0 / 4.3 / 10.8 / 52 ms at n = 512 / 1024 / 2048 / 4096 (the
+        exact QP3 tier: 2.7 / 7.0 / 32.5 ms, used below 1024 and as the
+        fallback on exactly-singular inputs) — paid only on
+        rank-deficient inputs.
     """
     A = jnp.asarray(A, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)

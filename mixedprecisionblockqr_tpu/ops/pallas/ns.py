@@ -411,14 +411,17 @@ def panel_qr_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        # Robust chains hold ~5 live m x r fp32 intermediates; past the
-        # 16 MB Mosaic scoped-vmem default (m*r*4*5 > 14M headroom) raise
-        # the per-kernel limit like bgs_group_fused — previously this
-        # kernel got no lift and large fused robust panels failed relay
-        # compile opaquely (review finding).
+        # Robust chains hold ~5 live m x r fp32 intermediates ON TOP of
+        # the P input and Q output blocks; past the 16 MB Mosaic
+        # scoped-vmem default raise the per-kernel limit like
+        # bgs_group_fused — previously this kernel got no lift and large
+        # fused robust panels failed relay compile opaquely (review
+        # finding; round-8: the 5x-only estimate still OOM'd robust
+        # panels at m=4096 — 10.5 MB of temps + 4 MB in/out over the
+        # stack — so the estimate now counts in/out too).
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if m * r * 4 * (5 if robust else 3) > 14 * 2**20
+            if m * r * 4 * (7 if robust else 4) > 12 * 2**20
             else None
         ),
         interpret=interpret,

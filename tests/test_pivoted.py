@@ -160,3 +160,114 @@ def test_pivoted_qr_complete_mode():
     assert np.max(np.abs(np.asarray(Q).T @ np.asarray(Q) - np.eye(20))) < 2e-5
     recon = np.linalg.norm(a[:, np.asarray(perm)] - np.asarray(Q) @ np.asarray(R))
     assert recon / np.linalg.norm(a) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# RQRCP tier (randomized sketch pivoting, Duersch & Gu 2017): the blocked
+# TPU-native pivoted QR.  Pivots are sketch-greedy (same rank-revealing
+# class as QP3, not bit-identical pivots), so these tests assert the
+# factorization CONTRACT (exact reconstruction, orthonormal Q, valid
+# permutation, running-max diagonal decay, rank detection) rather than
+# scipy pivot parity.
+# ---------------------------------------------------------------------------
+
+
+def _check_rqrcp(a, block_size=128, rtol=5e-6):
+    Q, R, perm = pivoted_qr(a, mode="reduced", method="rqrcp",
+                            block_size=block_size)
+    Q, R, perm = np.asarray(Q), np.asarray(R), np.asarray(perm)
+    m, n = a.shape
+    k = min(m, n)
+    scale = max(np.linalg.norm(a), 1e-30)
+    assert np.linalg.norm(a[:, perm] - Q @ R) / scale < rtol
+    assert np.max(np.abs(Q.T @ Q - np.eye(k))) < rtol
+    assert sorted(perm.tolist()) == list(range(n))
+    # sketch-greedy decay: no diagonal entry exceeds the running max of
+    # its predecessors by more than the sketch distortion allows
+    d = np.abs(np.diag(R))
+    runmax = np.maximum.accumulate(d)[:-1]
+    assert np.all(d[1:] <= 1.3 * runmax + rtol * (d[0] + 1e-30))
+    return Q, R, perm
+
+
+def test_rqrcp_full_rank():
+    rng = np.random.default_rng(0)
+    _check_rqrcp(rng.standard_normal((640, 512)).astype(np.float32))
+    _check_rqrcp(rng.standard_normal((512, 512)).astype(np.float32))
+
+
+def test_rqrcp_graded_columns_rank_parity():
+    rng = np.random.default_rng(1)
+    a = (rng.standard_normal((512, 512)) * np.logspace(0, -8, 512)).astype(
+        np.float32
+    )
+    # 8 decades of column grading: fp32 orthogonality accumulates to
+    # ~6e-6 — use the exact path's tolerance (_check_pivoted's 2e-5).
+    _, R, _ = _check_rqrcp(a, rtol=2e-5)
+    _, Rs, _ = scipy.linalg.qr(a.astype(np.float64), pivoting=True)
+    # same numerical rank as the exact pivoted factorization
+    r_ours = numerical_rank(R, m=512)
+    d = np.abs(np.diag(Rs))
+    cut = np.finfo(np.float32).eps * 512 * d[0]
+    r_scipy = int(np.sum(d > cut))
+    assert abs(r_ours - r_scipy) <= 2, (r_ours, r_scipy)
+
+
+def test_rqrcp_lowrank_rank_detection():
+    rng = np.random.default_rng(2)
+    a = (
+        rng.standard_normal((640, 100)) @ rng.standard_normal((100, 512))
+    ).astype(np.float32)
+    Q, R, perm = _check_rqrcp(a)
+    assert numerical_rank(R, m=640) == 100
+
+
+def test_rqrcp_exactly_singular_falls_back_to_exact():
+    """Exactly-zero trailing panels make the NS panel chains poison; the
+    public wrapper must transparently retry via the exact QP3 path and
+    still return a correct rank-revealing factorization."""
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    a[:, 100] = 0.0
+    a[:, 200] = a[:, 50]
+    a[:, 300:] = 0.0  # rank = 300 - 2
+    Q, R, perm = _check_rqrcp(a)
+    assert numerical_rank(R, m=512) == 298
+
+
+def test_rqrcp_qtb_solve_matches_numpy():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((640, 512)).astype(np.float32)
+    b = rng.standard_normal((640,)).astype(np.float32)
+    R, qtb, perm = pivoted_qr_qtb(a, b, method="rqrcp", block_size=128)
+    R = np.asarray(R, np.float64)
+    qtb = np.asarray(qtb, np.float64)
+    perm = np.asarray(perm)
+    xp = scipy.linalg.solve_triangular(R[:512, :512], qtb[:512])
+    x = np.empty(512)
+    x[perm] = xp
+    x_np = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                           rcond=None)[0]
+    assert np.linalg.norm(x - x_np) / np.linalg.norm(x_np) < 1e-5
+
+
+def test_rqrcp_shape_guards():
+    a = np.random.default_rng(5).standard_normal((96, 100)).astype(
+        np.float32
+    )
+    with pytest.raises(ValueError):
+        pivoted_qr(a, method="rqrcp", block_size=128)  # m < n, r !| n
+    with pytest.raises(ValueError):
+        pivoted_qr(
+            np.ones((256, 256), np.float32), mode="complete",
+            method="rqrcp", block_size=64,
+        )
+
+
+def test_rqrcp_deterministic_given_seed():
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    _, R1, p1 = pivoted_qr(a, mode="reduced", method="rqrcp", seed=7)
+    _, R2, p2 = pivoted_qr(a, mode="reduced", method="rqrcp", seed=7)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(R1), np.asarray(R2))
