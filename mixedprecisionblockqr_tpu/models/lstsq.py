@@ -214,11 +214,11 @@ def lstsq(
         re-routes through the column-pivoted path and returns the MIN-NORM
         solution.  Pass ``rcond=0`` to disable the check.  The reroute's
         price (one v5e chip, BENCH_NOTES round-8): the RQRCP tier that
-        ``pivoted_qr_qtb(method='auto')`` takes at n >= 1024 costs
-        2.0 / 4.3 / 10.8 / 52 ms at n = 512 / 1024 / 2048 / 4096 (the
-        exact QP3 tier: 2.7 / 7.0 / 32.5 ms, used below 1024 and as the
-        fallback on exactly-singular inputs) — paid only on
-        rank-deficient inputs.
+        ``pivoted_qr_qtb(method='auto')`` takes at n >= 512 costs
+        0.74 / 1.8 / 6.2 / 43 ms at n = 512 / 1024 / 2048 / 4096 (the
+        exact QP3 tier: 2.7 / 7.0 / 32.5 ms, used on small/ineligible
+        shapes and as the fallback on exactly-singular inputs) — paid
+        only on rank-deficient inputs.
     """
     A = jnp.asarray(A, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)

@@ -149,8 +149,10 @@ def pivoted_qr(
         rank-deficient inputs make its NS panels poison — detected here
         and retried via 'exact' transparently (one scalar fetch).
       * 'auto' — 'rqrcp' when the shape qualifies
-        (``_rqrcp_eligible``: m >= n, r | n, n >= 4r, reduced/'r' mode
-        and n >= 1024 where the sketch stages amortize), else 'exact'.
+        (``_rqrcp_eligible``: m >= n, r | n, n >= 4r = 512, reduced/'r'
+        mode), else 'exact'.  Measured (one v5e chip, the Mosaic
+        sketch-selection kernel): 0.74/1.8/6.2/43 ms at n =
+        512/1024/2048/4096 vs exact's 2.7/7.0/32.5/~260.
     """
     A = jnp.asarray(A)
     m, n = A.shape
@@ -159,7 +161,7 @@ def pivoted_qr(
     if method == "auto":
         method = (
             "rqrcp"
-            if n >= 1024 and _rqrcp_eligible(m, n, mode, block_size)
+            if n >= 512 and _rqrcp_eligible(m, n, mode, block_size)
             else "exact"
         )
     if method == "rqrcp":
@@ -200,7 +202,7 @@ def pivoted_qr_qtb(
     """Factor with pivoting and return (R, Q^T B, perm) without
     materializing Q — the rank-deficient least-squares fast path.
     ``method`` as in ``pivoted_qr`` ('auto' takes the RQRCP tier at
-    n >= 1024 on qualifying shapes; its NS poison falls back to 'exact')."""
+    n >= 512 on qualifying shapes; its NS poison falls back to 'exact')."""
     A = jnp.asarray(A)
     B = jnp.asarray(B)
     squeeze = B.ndim == 1
@@ -211,7 +213,7 @@ def pivoted_qr_qtb(
     if method == "auto":
         method = (
             "rqrcp"
-            if n >= 1024 and _rqrcp_eligible(m, n, "r", block_size)
+            if n >= 512 and _rqrcp_eligible(m, n, "r", block_size)
             else "exact"
         )
     if method == "rqrcp":
@@ -354,11 +356,21 @@ def _rqrcp_impl(
                                jnp.float32)
         Bsk = jnp.matmul(Om, T, preferred_element_type=jnp.float32)
         # (2) + (3): pick r pivots, gather them to the front (stable
-        # argsort of the selection rank keeps the rest in order).
-        sel, _ = _sketch_qrcp(Bsk, r)
-        rank_of = jnp.full((w,), w, jnp.int32).at[sel].set(
-            jnp.arange(r, dtype=jnp.int32)
-        )
+        # argsort of the selection rank keeps the rest in order).  On
+        # TPU the whole r-step greedy selection is ONE Mosaic dispatch
+        # (ops/pallas/sketch.py — the XLA fori was 2/3 of the tier's
+        # runtime); off-TPU the XLA loop is faster than interpret mode.
+        if on_tpu:
+            from mixedprecisionblockqr_tpu.ops.pallas.sketch import (
+                sketch_qrcp_ranks,
+            )
+
+            rank_of = sketch_qrcp_ranks(Bsk, r)
+        else:
+            sel, _ = _sketch_qrcp(Bsk, r)
+            rank_of = jnp.full((w,), w, jnp.int32).at[sel].set(
+                jnp.arange(r, dtype=jnp.int32)
+            )
         order = jnp.argsort(rank_of)
         T = jnp.take(T, order, axis=1)
         perm = perm.at[k0:].set(jnp.take(perm[k0:], order))

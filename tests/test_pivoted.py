@@ -271,3 +271,44 @@ def test_rqrcp_deterministic_given_seed():
     _, R2, p2 = pivoted_qr(a, mode="reduced", method="rqrcp", seed=7)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(R1), np.asarray(R2))
+
+
+def test_sketch_qrcp_kernel_matches_xla_oracle():
+    """The Mosaic sketch-QRCP selection kernel (ops/pallas/sketch.py, the
+    on-TPU path of _rqrcp_impl) must pick the SAME pivots in the SAME
+    order as the XLA fori oracle — including non-bucket widths that
+    exercise the -inf padding."""
+    from mixedprecisionblockqr_tpu.ops.pallas.sketch import (
+        sketch_qrcp_ranks,
+    )
+    from mixedprecisionblockqr_tpu.ops.pivoted import _sketch_qrcp
+
+    rng = np.random.default_rng(0)
+    for d, w, r in [(24, 256, 16), (40, 300, 32), (136, 500, 128)]:
+        a = rng.standard_normal((d, w)).astype(np.float32)
+        a = a * np.exp(rng.standard_normal(w)).astype(np.float32)
+        sel, _ = _sketch_qrcp(jnp.asarray(a), r)
+        rank_xla = np.full(w, w, np.int32)
+        rank_xla[np.asarray(sel)] = np.arange(r)
+        rank_k = np.asarray(
+            sketch_qrcp_ranks(jnp.asarray(a), r, interpret=True)
+        )
+        np.testing.assert_array_equal(
+            np.argsort(rank_k, kind="stable"),
+            np.argsort(rank_xla, kind="stable"),
+        )
+
+
+def test_sketch_qrcp_kernel_zero_and_duplicate_columns():
+    from mixedprecisionblockqr_tpu.ops.pallas.sketch import (
+        sketch_qrcp_ranks,
+    )
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((24, 256)).astype(np.float32)
+    a[:, 10] = 0.0
+    a[:, 20] = a[:, 30]
+    rank = np.asarray(sketch_qrcp_ranks(jnp.asarray(a), 16, interpret=True))
+    sel = np.where(rank < 16)[0]
+    assert len(sel) == 16
+    assert 10 not in sel  # the zero column is never an early pivot

@@ -448,3 +448,44 @@ def test_posuni_head_panel_no_poison_on_chip():
     rep = mpq.metrics.evaluate(a, np.asarray(Q, np.float32), Rn,
                                precision_bits=8)
     assert rep.all_ok, str(rep)
+
+
+def test_sketch_qrcp_kernel_on_chip():
+    """The RQRCP pivot-selection kernel (ops/pallas/sketch.py) compiled to
+    Mosaic must pick exactly the XLA oracle's pivot sequence — including a
+    non-bucket width (padding masked with -inf norms)."""
+    from mixedprecisionblockqr_tpu.ops.pallas.sketch import sketch_qrcp_ranks
+    from mixedprecisionblockqr_tpu.ops.pivoted import _sketch_qrcp
+
+    rng = np.random.default_rng(11)
+    for d, w, r in [(136, 512, 128), (136, 384, 128)]:
+        a = rng.standard_normal((d, w)).astype(np.float32)
+        a = a * np.exp(rng.standard_normal(w)).astype(np.float32)
+        sel, _ = _sketch_qrcp(jnp.asarray(a), r)
+        rank_xla = np.full(w, w, np.int32)
+        rank_xla[np.asarray(sel)] = np.arange(r)
+        rank_k = np.asarray(sketch_qrcp_ranks(jnp.asarray(a), r))
+        np.testing.assert_array_equal(
+            np.argsort(rank_k, kind="stable"),
+            np.argsort(rank_xla, kind="stable"),
+        )
+
+
+def test_rqrcp_pivoted_qr_on_chip():
+    """End-to-end RQRCP factorization on chip: exact reconstruction,
+    orthonormal Q, correct rank on a low-rank input."""
+    from mixedprecisionblockqr_tpu.ops.pivoted import (
+        numerical_rank,
+        pivoted_qr,
+    )
+
+    rng = np.random.default_rng(12)
+    a = (rng.standard_normal((640, 100)) @
+         rng.standard_normal((100, 512))).astype(np.float32)
+    Q, R, perm = pivoted_qr(a, mode="reduced", method="rqrcp",
+                            block_size=128)
+    Q, R, perm = np.asarray(Q), np.asarray(R), np.asarray(perm)
+    scale = np.linalg.norm(a)
+    assert np.linalg.norm(a[:, perm] - Q @ R) / scale < 5e-6
+    assert np.max(np.abs(Q.T @ Q - np.eye(512))) < 5e-6
+    assert numerical_rank(R, m=640) == 100
