@@ -18,7 +18,8 @@ Public API (stable):
     qr, block_qr, householder_qr, tsqr, caqr
     lstsq, lstsq_pivoted (QR least-squares; rank-revealing min-norm path)
     rls_init, rls_update, rls_solve (recursive least squares, streaming rows)
-    qr_rank1_update, qr_append_row (Givens incremental factor updates)
+    qr_rank1_update, qr_append_row, qr_insert_col, qr_delete_col,
+    qr_delete_row (Givens incremental factor updates)
     pivoted_qr (column-pivoted rank-revealing QR)
     DTypePolicy, POLICY_FP32, POLICY_MIXED, POLICY_BF16
     metrics: backward_error, orthogonality_error, lower_trapezoid_error
@@ -56,6 +57,9 @@ from mixedprecisionblockqr_tpu.ops import metrics
 from mixedprecisionblockqr_tpu.ops.givens import (
     givens_qr,
     qr_append_row,
+    qr_delete_col,
+    qr_delete_row,
+    qr_insert_col,
     qr_rank1_update,
 )
 from mixedprecisionblockqr_tpu.ops.pivoted import (
@@ -102,6 +106,9 @@ __all__ = [
     "givens_qr",
     "qr_rank1_update",
     "qr_append_row",
+    "qr_insert_col",
+    "qr_delete_col",
+    "qr_delete_row",
     "pivoted_qr",
     "pivoted_qr_qtb",
     "numerical_rank",

@@ -370,3 +370,184 @@ def qr_append_row(R, a, qtb=None, beta=None):
     Rp = jnp.triu(Raug[:, :n])
     qtb_p = Raug[:, n:]
     return Rp, (qtb_p[:, 0] if squeeze else qtb_p)
+
+
+def qr_delete_col(Q, R, k):
+    """Delete column ``k`` of the factored matrix: given complete-mode
+    ``A = Q R``, return (Q', R') with ``A-minus-column-k = Q' R'`` in
+    O((n-k) m) — the scipy ``qr_delete(..., which='col')`` counterpart.
+
+    Removing R's column k leaves columns k.. with one subdiagonal entry
+    each (upper Hessenberg); a top-down chain of n-k-1 adjacent-row
+    rotations re-triangularizes (GVL §12.5.2).  ``k`` may be a traced
+    value: the chain runs full-length with identity rotations below k
+    (``givens_rotation(x, 0) = (1, 0)`` exactly, and rows < k already
+    carry a zero subdiagonal).
+
+    Args:
+        Q: (m, m) orthogonal; R: (m, n) upper triangular; k: int in [0, n).
+
+    Returns:
+        (Q' (m, m), R' (m, n-1)).
+    """
+    Q = jnp.asarray(Q, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    m, n = R.shape
+    if Q.shape != (m, m):
+        raise ValueError(
+            f"qr_delete_col needs complete-mode factors: Q {Q.shape} vs "
+            f"R {R.shape}"
+        )
+    k = jnp.asarray(k, jnp.int32)
+    return _delete_col_run(m, n)(Q, R, k)
+
+
+@lru_cache(maxsize=None)
+def _delete_col_run(m: int, n: int):
+    @jax.jit
+    def run(Q, R, k):
+        idx = jnp.arange(n - 1, dtype=jnp.int32)
+        Rd = jnp.take(R, jnp.where(idx < k, idx, idx + 1), axis=1)
+
+        def sweep(i, carry):
+            Rd, Qt = carry
+            two = jax.lax.dynamic_slice(Rd, (i, i), (2, 1))
+            c, s = givens_rotation(two[0, 0], two[1, 0])
+            return _rot_rows(Rd, i, c, s), _rot_rows(Qt, i, c, s)
+
+        Rd, Qt = jax.lax.fori_loop(
+            0, min(m - 1, n - 1), sweep, (Rd, Q.T), unroll=4
+        )
+        return Qt.T, jnp.triu(Rd)
+
+    return run
+
+
+def qr_insert_col(Q, R, k, u):
+    """Insert column ``u`` at position ``k``: given complete-mode
+    ``A = Q R``, return (Q', R') factoring A with u spliced in before its
+    old column k, in O(m (m - k)) — the scipy
+    ``qr_insert(..., which='col')`` counterpart.
+
+    ``w = Qᵀu`` becomes the new column; a bottom-up chain of rotations on
+    rows (i, i+1), i = m-2..k, zeroes w below row k.  Rows above k are
+    untouched (masked identity rotations keep ``k`` traceable), and each
+    rotation can only fill entries on or above the shifted columns'
+    diagonals, so R stays upper triangular.
+
+    Args:
+        Q: (m, m) orthogonal; R: (m, n) upper triangular with n < m
+           (the inserted column needs a free row for its diagonal);
+        k: int in [0, n]; u: (m,) or (m, 1).
+
+    Returns:
+        (Q' (m, m), R' (m, n+1)).
+    """
+    Q = jnp.asarray(Q, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    u = jnp.asarray(u, jnp.float32).reshape(-1)
+    m, n = R.shape
+    if Q.shape != (m, m) or u.shape != (m,):
+        raise ValueError(
+            f"qr_insert_col needs complete-mode factors and u (m,): "
+            f"Q {Q.shape}, R {R.shape}, u {u.shape}"
+        )
+    if n >= m:
+        raise ValueError(
+            f"qr_insert_col: inserting into a full-rank-square factor "
+            f"(m={m}, n={n}) has no free row for the new diagonal"
+        )
+    k = jnp.asarray(k, jnp.int32)
+    return _insert_col_run(m, n)(Q, R, k, u)
+
+
+@lru_cache(maxsize=None)
+def _insert_col_run(m: int, n: int):
+    @jax.jit
+    def run(Q, R, k, u):
+        w = jnp.matmul(Q.T, u[:, None], precision=_HI)
+        idx = jnp.arange(n + 1, dtype=jnp.int32)
+        src = jnp.clip(jnp.where(idx < k, idx, idx - 1), 0, n - 1)
+        Rx = jnp.where((idx == k)[None, :], w, jnp.take(R, src, axis=1))
+
+        def sweep(t, carry):
+            Rx, Qt = carry
+            i = m - 2 - t
+            on = i >= k
+            two = jax.lax.dynamic_slice(
+                Rx, (i, jnp.zeros_like(i)), (2, n + 1)
+            )
+            wk = jnp.take(two, k, axis=1)  # entries (i, k), (i+1, k)
+            c, s = givens_rotation(wk[0], wk[1])
+            c = jnp.where(on, c, 1.0)
+            s = jnp.where(on, s, 0.0)
+            return _rot_rows(Rx, i, c, s), _rot_rows(Qt, i, c, s)
+
+        Rx, Qt = jax.lax.fori_loop(0, m - 1, sweep, (Rx, Q.T), unroll=4)
+        # the chain zeroes strictly-below-diagonal entries of column k;
+        # other columns never receive sub-diagonal fill (see docstring)
+        return Qt.T, jnp.triu(Rx)
+
+    return run
+
+
+def qr_delete_row(Q, R, k):
+    """Delete row ``k`` of the factored matrix: given complete-mode
+    ``A = Q R``, return (Q', R') with ``A-minus-row-k = Q' R'`` in
+    O(m (m + n)) — the scipy ``qr_delete(..., which='row')``
+    counterpart, and the observation-REMOVAL half of the recursive
+    least-squares pair (``qr_append_row`` adds one).
+
+    Let q = (row k of Q).  A bottom-up chain of rotations on coordinate
+    pairs (i, i+1) maps q to ±e₀ — applied to R's rows it fills one
+    subdiagonal (upper Hessenberg H), applied to Q's columns it makes
+    column 0 equal ±e_k.  Dropping row k and column 0 of the rotated Q
+    (orthogonal by construction: its row k is ±e₀) and row 0 of H gives
+    the deleted-row factorization.  Numerically this is the STABLE
+    downdate (no hyperbolic rotations): accuracy is governed by plane
+    rotations only.
+
+    Args:
+        Q: (m, m) orthogonal; R: (m, n) upper triangular; k: int in [0, m).
+
+    Returns:
+        (Q' (m-1, m-1), R' (m-1, n)).
+    """
+    Q = jnp.asarray(Q, jnp.float32)
+    R = jnp.asarray(R, jnp.float32)
+    m, n = R.shape
+    if Q.shape != (m, m):
+        raise ValueError(
+            f"qr_delete_row needs complete-mode factors: Q {Q.shape} vs "
+            f"R {R.shape}"
+        )
+    if m < 2:
+        raise ValueError("qr_delete_row: m must be >= 2")
+    k = jnp.asarray(k, jnp.int32)
+    return _delete_row_run(m, n)(Q, R, k)
+
+
+@lru_cache(maxsize=None)
+def _delete_row_run(m: int, n: int):
+    @jax.jit
+    def run(Q, R, k):
+        Qt = Q.T
+        q = jnp.take(Q, k, axis=0)  # (m,) coordinates in the R-row basis
+
+        def sweep(t, carry):
+            q, R, Qt = carry
+            i = m - 2 - t
+            c, s = givens_rotation(q[i], q[i + 1])
+            qi = c * q[i] - s * q[i + 1]
+            q = q.at[i].set(qi).at[i + 1].set(0.0)
+            return q, _rot_rows(R, i, c, s), _rot_rows(Qt, i, c, s)
+
+        q, H, Qt = jax.lax.fori_loop(0, m - 1, sweep, (q, R, Q.T),
+                                     unroll=4)
+        Qr = Qt.T  # rotated Q: row k is (q[0], 0, ..., 0), |q[0]| = 1
+        ridx = jnp.arange(m - 1, dtype=jnp.int32)
+        rows = jnp.where(ridx < k, ridx, ridx + 1)
+        Qd = jnp.take(Qr, rows, axis=0)[:, 1:]
+        return Qd, jnp.triu(H[1:, :])
+
+    return run

@@ -129,3 +129,94 @@ def test_givens_qr_scan_past_unroll_ceiling():
     rep = metrics.evaluate(A, Q, R, precision_bits=23)
     assert rep.all_ok, str(rep)
     assert np.max(np.abs(np.asarray(Q).T @ np.asarray(Q) - np.eye(640))) < 1e-5
+
+
+# --- incremental family completion: scipy qr_insert/qr_delete parity ------
+
+
+def _complete_qr(a):
+    Q, R = np.linalg.qr(a, mode="complete")
+    return jnp.asarray(Q.astype(np.float32)), jnp.asarray(R.astype(np.float32))
+
+
+def _check_factors(a_new, Q, R, rtol=2e-5):
+    Q, R = np.asarray(Q, np.float64), np.asarray(R, np.float64)
+    m = Q.shape[0]
+    assert np.max(np.abs(Q.T @ Q - np.eye(m))) < rtol
+    assert np.allclose(np.tril(R[: R.shape[1], :], -1), 0.0)
+    scale = max(np.linalg.norm(a_new), 1e-30)
+    assert np.linalg.norm(a_new - Q @ R) / scale < rtol
+    # R-diagonal parity with a fresh factorization (sign-free)
+    Rn = np.linalg.qr(a_new, mode="r")
+    k = min(a_new.shape)
+    np.testing.assert_allclose(
+        np.abs(np.diag(R)[:k]), np.abs(np.diag(Rn)[:k]), rtol=1e-4,
+        atol=rtol * (np.abs(Rn).max() + 1),
+    )
+
+
+@pytest.mark.parametrize("k", [0, 7, 19])
+def test_qr_delete_col(k):
+    from mixedprecisionblockqr_tpu.ops.givens import qr_delete_col
+
+    rng = np.random.default_rng(20 + k)
+    a = rng.standard_normal((32, 20)).astype(np.float32)
+    Q, R = _complete_qr(a)
+    Qp, Rp = qr_delete_col(Q, R, k)
+    _check_factors(np.delete(a, k, axis=1), Qp, Rp)
+
+
+@pytest.mark.parametrize("k", [0, 9, 20])
+def test_qr_insert_col(k):
+    from mixedprecisionblockqr_tpu.ops.givens import qr_insert_col
+
+    rng = np.random.default_rng(40 + k)
+    a = rng.standard_normal((32, 20)).astype(np.float32)
+    u = rng.standard_normal(32).astype(np.float32)
+    Q, R = _complete_qr(a)
+    Qp, Rp = qr_insert_col(Q, R, k, u)
+    _check_factors(np.insert(a, k, u, axis=1), Qp, Rp)
+
+
+@pytest.mark.parametrize("k", [0, 13, 31])
+def test_qr_delete_row(k):
+    from mixedprecisionblockqr_tpu.ops.givens import qr_delete_row
+
+    rng = np.random.default_rng(60 + k)
+    a = rng.standard_normal((32, 20)).astype(np.float32)
+    Q, R = _complete_qr(a)
+    Qp, Rp = qr_delete_row(Q, R, k)
+    assert Qp.shape == (31, 31) and Rp.shape == (31, 20)
+    _check_factors(np.delete(a, k, axis=0), Qp, Rp)
+
+
+def test_qr_insert_then_delete_col_roundtrip():
+    from mixedprecisionblockqr_tpu.ops.givens import (
+        qr_delete_col,
+        qr_insert_col,
+    )
+
+    rng = np.random.default_rng(80)
+    a = rng.standard_normal((24, 12)).astype(np.float32)
+    u = rng.standard_normal(24).astype(np.float32)
+    Q, R = _complete_qr(a)
+    Qi, Ri = qr_insert_col(Q, R, 5, u)
+    Qd, Rd = qr_delete_col(Qi, Ri, 5)
+    _check_factors(a, Qd, Rd)
+
+
+def test_qr_update_family_guards():
+    from mixedprecisionblockqr_tpu.ops.givens import (
+        qr_delete_col,
+        qr_delete_row,
+        qr_insert_col,
+    )
+
+    a = np.random.default_rng(0).standard_normal((8, 8)).astype(np.float32)
+    Q, R = _complete_qr(a)
+    with pytest.raises(ValueError):
+        qr_insert_col(Q, R, 0, np.ones(8, np.float32))  # square: no free row
+    with pytest.raises(ValueError):
+        qr_delete_col(Q[:, :4], R, 0)  # reduced-mode Q rejected
+    with pytest.raises(ValueError):
+        qr_delete_row(Q[:1, :1], R[:1, :1], 0)  # m < 2
