@@ -99,6 +99,23 @@ def cmd_qr(args) -> int:
 
     a = _load_matrix(args)
     policy = policy_by_name(args.policy)
+    if args.pivoted != "off":
+        from mixedprecisionblockqr_tpu.ops.pivoted import (
+            numerical_rank,
+            pivoted_qr,
+        )
+
+        t0 = time.perf_counter()
+        Q, R, perm = pivoted_qr(a, mode="reduced", method=args.pivoted,
+                                block_size=args.block_size)
+        dt = time.perf_counter() - t0
+        an = np.asarray(a)[:, np.asarray(perm)]
+        rep = metrics.evaluate(an, Q, R, precision_bits=23)
+        rank = numerical_rank(R, m=a.shape[0])
+        print(rep)
+        print(json.dumps({"rank": int(rank), "method": args.pivoted,
+                          "seconds_with_compile": dt}))
+        return 0 if rep.all_ok else 1
     t0 = time.perf_counter()
     Q, R = block_qr(
         a, block_size=args.block_size, policy=policy, mode="complete",
@@ -492,6 +509,13 @@ def main(argv: Optional[list] = None) -> int:
 
     p = sub.add_parser("qr", help="factor one matrix, report error metrics")
     _common_flags(p)
+    p.add_argument(
+        "--pivoted", default="off", choices=["off", "auto", "exact",
+                                             "rqrcp"],
+        help="column-pivoted (rank-revealing) factorization instead of "
+             "the blocked fast tiers; reports the numerical rank "
+             "(ops/pivoted.py — 'rqrcp' = the sketch-pivoting tier)",
+    )
     p.set_defaults(fn=cmd_qr)
 
     p = sub.add_parser("bench", help="amortized TFLOP/s sweep")

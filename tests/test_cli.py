@@ -183,3 +183,13 @@ def test_cli_dist_quality_flag(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "panel_method=bgs2" in out, out
+
+
+def test_cli_qr_pivoted(tmp_path):
+    d = str(tmp_path)
+    # exact tier, small; reports rank and passes fp32 criteria
+    assert main(["qr", "--n", "64", "--block-size", "16", "--pivoted",
+                 "exact", "--log-dir", f"{d}/log"]) == 0
+    # rqrcp tier (explicit) at its minimum eligible shape
+    assert main(["qr", "--n", "512", "--block-size", "128", "--pivoted",
+                 "rqrcp", "--log-dir", f"{d}/log"]) == 0
