@@ -104,7 +104,20 @@ def cmd_qr(args) -> int:
             numerical_rank,
             pivoted_qr,
         )
+        from mixedprecisionblockqr_tpu.utils.flops import qr_flops as _qf
 
+        # The pivoted tiers are fp32-only and pick their own method; don't
+        # silently ignore knobs that cannot apply (the repo convention —
+        # see models/lstsq.py's refine_steps/quality guard).  'mixed' is
+        # the subcommand's DEFAULT policy, so it is tolerated (and runs
+        # fp32); explicitly incompatible choices are rejected.
+        if args.policy not in ("fp32", "mixed") or args.quality is not None:
+            raise SystemExit(
+                "qr --pivoted runs the fp32 rank-revealing tiers; "
+                f"--policy {args.policy} / --quality do not apply — drop "
+                "them (--panel-method/--loop-mode/--group-panels are "
+                "likewise unused here)"
+            )
         t0 = time.perf_counter()
         Q, R, perm = pivoted_qr(a, mode="reduced", method=args.pivoted,
                                 block_size=args.block_size)
@@ -115,6 +128,10 @@ def cmd_qr(args) -> int:
         print(rep)
         print(json.dumps({"rank": int(rank), "method": args.pivoted,
                           "seconds_with_compile": dt}))
+        ResultsLogger(args.log_dir).write_csv(
+            f"tpu_pivoted_{args.pivoted}", a.shape[0], a.shape[1], dt,
+            _qf(*a.shape), rep.backward
+        )
         return 0 if rep.all_ok else 1
     t0 = time.perf_counter()
     Q, R = block_qr(

@@ -1094,9 +1094,15 @@ def _block_qr_bgs(
     # assembly both consume that same bf16 buffer, instead of XLA casting
     # the fp32 Qg for the projection AND re-reading all the fp32 qcols for
     # the final concatenate+astype (~35 us of converts + copies at 2048^2
-    # — the round-8 glue trim; numerically identical, the casts commute).
+    # — the round-8 glue trim).  The casts only commute when the
+    # projections would cast to q_store precision ANYWAY — i.e.
+    # policy.trailing == q_store (all the built-in _FAST policies).  A
+    # custom policy with fp32 trailing + compact q_store must keep fp32
+    # Qg for its projections/Q^T B and cast only at assembly.
     cast_early = (
-        not reorth and jnp.dtype(q_dtype) != jnp.dtype(policy.accum)
+        not reorth
+        and jnp.dtype(q_dtype) != jnp.dtype(policy.accum)
+        and jnp.dtype(policy.trailing) == jnp.dtype(q_dtype)
     )
     # Fast tiers assemble Q by in-place DUS into one preallocated buffer
     # instead of a final jnp.concatenate: XLA lowers the concatenate of g

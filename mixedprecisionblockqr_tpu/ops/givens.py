@@ -531,7 +531,6 @@ def qr_delete_row(Q, R, k):
 def _delete_row_run(m: int, n: int):
     @jax.jit
     def run(Q, R, k):
-        Qt = Q.T
         q = jnp.take(Q, k, axis=0)  # (m,) coordinates in the R-row basis
 
         def sweep(t, carry):

@@ -100,10 +100,11 @@ def _pivoted_qr_impl(A: jax.Array, B, want_q: bool, with_b: bool):
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no backend at all
-        return False
+    # the package's single platform-detection helper (avoid a second,
+    # subtly-different implementation drifting from it)
+    from mixedprecisionblockqr_tpu.ops.blockqr import _on_tpu as _impl
+
+    return _impl()
 
 
 def _rqrcp_eligible(m: int, n: int, mode: str, block_size: int) -> bool:
@@ -119,6 +120,14 @@ def _rqrcp_eligible(m: int, n: int, mode: str, block_size: int) -> bool:
 
 
 _RQRCP_TOL = 1e-4  # the blocked drivers' shared NS-residual poison tol
+
+
+def _poison_outputs(worst, *arrays):
+    """check='defer'-style poison for in-jit rqrcp callers: NaN-multiply
+    every output when the worst NS residual exceeds the shared tolerance
+    (mirrors ``ops/blockqr.py::_poison_if_unconverged``)."""
+    bad = jnp.where(worst < _RQRCP_TOL, 1.0, jnp.float32(jnp.nan))
+    return tuple(a * bad for a in arrays)
 
 
 def pivoted_qr(
@@ -153,15 +162,27 @@ def pivoted_qr(
         mode), else 'exact'.  Measured (one v5e chip, the Mosaic
         sketch-selection kernel): 0.74/1.8/6.2/43 ms at n =
         512/1024/2048/4096 vs exact's 2.7/7.0/32.5/~260.
+
+    Under ``jax.jit`` tracing: 'auto' resolves to 'exact' (the fallback
+    cannot fetch its canary scalar in-trace — jit(pivoted_qr) stays
+    traceable and exact); an explicit 'rqrcp' runs with the blocked
+    drivers' check='defer' semantics — a failed panel NaN-poisons the
+    outputs at first materialization instead of retrying.
     """
     A = jnp.asarray(A)
     m, n = A.shape
     k = min(m, n)
     want_q = mode in ("reduced", "complete")
+    traced = isinstance(A, jax.core.Tracer)
     if method == "auto":
+        # Under tracing the rqrcp->exact fallback cannot fetch its canary
+        # scalar: auto keeps the (traceable) exact tier, preserving the
+        # pre-rqrcp behavior of jit(pivoted_qr).
         method = (
             "rqrcp"
-            if n >= 512 and _rqrcp_eligible(m, n, mode, block_size)
+            if not traced
+            and n >= 512
+            and _rqrcp_eligible(m, n, mode, block_size)
             else "exact"
         )
     if method == "rqrcp":
@@ -174,7 +195,12 @@ def pivoted_qr(
         R, Q, _, perm, worst = _rqrcp_impl(
             A, None, want_q, False, block_size, oversample, seed, _on_tpu()
         )
-        if not bool(worst < _RQRCP_TOL):  # NaN-safe: poison also retries
+        if traced:
+            # Explicit method='rqrcp' inside jit: defer semantics (the
+            # blocked drivers' check='defer' contract) — a poisoned
+            # factorization surfaces as NaN at first materialization.
+            R, Q = _poison_outputs(worst, R, Q)
+        elif not bool(worst < _RQRCP_TOL):  # NaN-safe: poison retries
             return pivoted_qr(A, mode=mode, method="exact")
         if mode == "r":
             return R[:k, :], perm
@@ -210,10 +236,15 @@ def pivoted_qr_qtb(
         B = B[:, None]
     m, n = A.shape
     k = min(m, n)
+    traced = isinstance(A, jax.core.Tracer) or isinstance(
+        B, jax.core.Tracer
+    )
     if method == "auto":
         method = (
             "rqrcp"
-            if n >= 512 and _rqrcp_eligible(m, n, "r", block_size)
+            if not traced
+            and n >= 512
+            and _rqrcp_eligible(m, n, "r", block_size)
             else "exact"
         )
     if method == "rqrcp":
@@ -225,7 +256,9 @@ def pivoted_qr_qtb(
         R, _, QtB, perm, worst = _rqrcp_impl(
             A, B, False, True, block_size, oversample, seed, _on_tpu()
         )
-        if not bool(worst < _RQRCP_TOL):
+        if traced:
+            R, QtB = _poison_outputs(worst, R, QtB)
+        elif not bool(worst < _RQRCP_TOL):
             return pivoted_qr_qtb(A, B[:, 0] if squeeze else B,
                                   method="exact")
         QtB = QtB[:, 0] if squeeze else QtB
@@ -354,7 +387,13 @@ def _rqrcp_impl(
         # below the ~1/sqrt(d) sketch distortion it rides on.
         Om = jax.random.normal(jax.random.fold_in(key, j), (d, m),
                                jnp.float32)
-        Bsk = jnp.matmul(Om, T, preferred_element_type=jnp.float32)
+        # DELIBERATE exception to the fp32-matmuls-pass-HIGHEST rule
+        # (explicit DEFAULT = one bf16 MXU pass): this product only feeds
+        # pivot-norm ESTIMATES whose sketch distortion (~1/sqrt(d), ~9%)
+        # dwarfs the ~0.4% bf16 rounding; the factorization itself never
+        # consumes Bsk.
+        Bsk = jnp.matmul(Om, T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
         # (2) + (3): pick r pivots, gather them to the front (stable
         # argsort of the selection rank keeps the rest in order).  On
         # TPU the whole r-step greedy selection is ONE Mosaic dispatch
@@ -431,4 +470,10 @@ def numerical_rank(
         rcond = float(jnp.finfo(jnp.float32).eps) * max(
             R.shape[1], m if m is not None else 0, R.shape[0]
         )
-    return int(jnp.sum(d > rcond * (d[0] + jnp.finfo(jnp.float32).tiny)))
+    # Key the cutoff to max|d|, not d[0]: exact QP3 makes them equal, but
+    # the RQRCP tier's sketch-greedy order can put d[0] up to ~1.3x below
+    # the true max — a d[0]-keyed threshold would then sit too low and
+    # inflate the rank (measured: 439 vs oracle 437 on Bierlaire-1e6).
+    return int(jnp.sum(
+        d > rcond * (jnp.max(d) + jnp.finfo(jnp.float32).tiny)
+    ))

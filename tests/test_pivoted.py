@@ -312,3 +312,49 @@ def test_sketch_qrcp_kernel_zero_and_duplicate_columns():
     sel = np.where(rank < 16)[0]
     assert len(sel) == 16
     assert 10 not in sel  # the zero column is never an early pivot
+
+
+def test_pivoted_qr_jit_traceable_auto():
+    """Review finding (round 8): method='auto' under jax.jit must stay
+    traceable — the rqrcp host-fetch fallback cannot run in-trace, so
+    auto resolves to the exact tier there (pre-rqrcp behavior)."""
+    import jax
+
+    a = np.random.default_rng(9).standard_normal((512, 512)).astype(
+        np.float32
+    )
+    Q, R, perm = jax.jit(pivoted_qr)(a)  # raised TracerBoolConversionError
+    Q, R, perm = np.asarray(Q), np.asarray(R), np.asarray(perm)
+    assert np.linalg.norm(a[:, perm] - Q @ R) / np.linalg.norm(a) < 2e-5
+
+
+def test_pivoted_qr_jit_rqrcp_defer_poisons():
+    """Explicit rqrcp inside jit takes defer semantics: an
+    exactly-singular trailing block NaN-poisons the outputs instead of
+    silently returning garbage (no host retry is possible in-trace)."""
+    import jax
+    from functools import partial
+
+    a = np.random.default_rng(10).standard_normal((512, 512)).astype(
+        np.float32
+    )
+    a[:, 300:] = 0.0
+    fn = jax.jit(partial(pivoted_qr, mode="r", method="rqrcp"))
+    R, perm = fn(a)
+    assert not np.isfinite(np.asarray(R)[0, 0])
+
+
+def test_numerical_rank_keys_on_max_diagonal():
+    """Review finding (round 8): RQRCP's sketch-greedy order can put
+    d[0] below the true max diagonal; the cutoff must key on max|d| so
+    near-cutoff rows are judged against the same threshold as the exact
+    tier's."""
+    d = np.zeros((4, 4), np.float32)
+    np.fill_diagonal(d, [0.8, 1.0, 0.5, 1.1e-6])
+    # d[0]-keyed cutoff (eps*4*0.8) would count the 1.1e-6 entry OUT with
+    # max-keyed too -- use a value straddling the two thresholds:
+    eps = np.finfo(np.float32).eps
+    np.fill_diagonal(d, [0.8, 1.0, 0.5, eps * 4 * 0.9])
+    # max-keyed threshold = eps*4*1.0 > the entry -> rank 3;
+    # a d[0]-keyed threshold (eps*4*0.8) would have counted it -> 4.
+    assert numerical_rank(d) == 3
