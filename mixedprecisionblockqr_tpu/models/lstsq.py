@@ -215,7 +215,7 @@ def lstsq(
         solution.  Pass ``rcond=0`` to disable the check.  The reroute's
         price (one v5e chip, BENCH_NOTES round-8): the RQRCP tier that
         ``pivoted_qr_qtb(method='auto')`` takes at n >= 512 costs
-        0.74 / 1.8 / 6.2 / 43 ms at n = 512 / 1024 / 2048 / 4096 (the
+        0.74 / 1.8 / 6.2 / 34.5 ms at n = 512 / 1024 / 2048 / 4096 (the
         exact QP3 tier: 2.7 / 7.0 / 32.5 ms, used on small/ineligible
         shapes and as the fallback on exactly-singular inputs) — paid
         only on rank-deficient inputs.

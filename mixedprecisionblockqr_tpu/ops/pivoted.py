@@ -160,7 +160,7 @@ def pivoted_qr(
       * 'auto' — 'rqrcp' when the shape qualifies
         (``_rqrcp_eligible``: m >= n, r | n, n >= 4r = 512, reduced/'r'
         mode), else 'exact'.  Measured (one v5e chip, the Mosaic
-        sketch-selection kernel): 0.74/1.8/6.2/43 ms at n =
+        sketch-selection kernel): 0.74/1.8/6.2/34.5 ms at n =
         512/1024/2048/4096 vs exact's 2.7/7.0/32.5/~260.
 
     Under ``jax.jit`` tracing: 'auto' resolves to 'exact' (the fallback
@@ -417,7 +417,10 @@ def _rqrcp_impl(
             # Rows already written for these columns (previous panels'
             # projection coefficients) move WITH the columns — the exact
             # impl gets this for free from its in-place column swaps.
-            R = R.at[:, k0:].set(jnp.take(R[:, k0:], order, axis=1))
+            # Only rows < k0 carry data at this point (the columns' own
+            # diagonal blocks are unwritten), so permute just the top
+            # slab instead of full (n, w) columns.
+            R = R.at[:k0, k0:].set(jnp.take(R[:k0, k0:], order, axis=1))
         P = T[:, :r]
         C = T[:, r:]
         # (4) BCGS2 re-projection: P was projected once (as trailing
