@@ -9,7 +9,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 SIZES = [512, 1024, 2048, 4096]
 EXACT = [2.73, 7.01, 32.5, None]     # ms; 4096 not affordable to measure
-RQRCP = [0.74, 1.79, 6.18, 43.1]     # ms; Mosaic selection kernel
+RQRCP = [0.74, 1.79, 6.18, 34.5]     # ms; Mosaic selection + slab permute
 
 C_EXACT, C_RQRCP = "#2a78d6", "#eb6834"  # validated categorical slots 1, 2
 
