@@ -27,6 +27,7 @@ seed, same guard) — oracle-tested against it in interpret mode.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -105,10 +106,25 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
     form matters when E feeds _poison_if_unconverged: early NS convergence
     is slow-then-quadratic, so the one-behind value can over-report by
     orders of magnitude (measured 2.2e-2 one-behind vs < 1e-4 final on a
-    cond-1e4 robust tail) and would falsely poison healthy panels."""
+    cond-1e4 robust tail) and would falsely poison healthy panels.
+
+    Fused X/W recurrence (round-9 dot-count lever): the classic iteration
+    issues three dependent r x r dots (W = G X, M = X^T W, X += om X C).
+    But X' = X (I + om C) implies W' = G X' = W (I + om C) — W transforms
+    by the SAME right factor — so X and W stack into one (2r, r) buffer S
+    updated by ONE (2r, r) x (r, r) dot: two MXU ops per iteration instead
+    of three at identical FLOPs (the drivers are in-kernel issue-bound on
+    these dots, BENCH_NOTES round 8).  The recurrence lets W drift from
+    G X by the accumulated per-step rounding, so the FINAL two iterations
+    always run the classic form with a fresh W = G X: the chain is
+    self-correcting (X <- X(I + C) contracts toward X^T G X = I from
+    wherever X sits), and two fresh quadratic steps pin the converged
+    floor exactly as before — same structure as the chain_mid precision
+    split, applied to the dependency graph instead of the MXU passes."""
     if refine:
         # G already near identity — no Jacobi scaling / guard, X0 = I.
         X = eye
+        W = G                                  # W0 = G X0 = G, free
     else:
         diag_keep = jnp.where(rows == cols, G, 0.0)
         tiny = jnp.finfo(jnp.float32).tiny
@@ -121,6 +137,9 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
         M0 = G * dcol * drow
         scale = jax.lax.rsqrt(_norm2_est(M0))
         X = jnp.where(rows == cols, drow * scale, 0.0)
+        # X0 is diagonal, so W0 = G X0 is a COLUMN scaling of G — a VPU
+        # broadcast multiply, no MXU dot.
+        W = G * (drow * scale)
 
     # Statically unrolled: a fori_loop's (r, r) carries cost ~1us/iteration
     # of VMEM copies in Mosaic (measured: 8us at 6 iters vs ~0.3us of MXU
@@ -153,12 +172,52 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
     # shift already caps the condition (escape is not its constraint)
     # and pure-Newton passes keep the round-4-calibrated floor exactly.
     n_om = 0 if (refine or not omega) else min(4, max(0, iters - 4))
+    # Fused-recurrence extent: all but the final two iterations carry
+    # W = G X by the stacked right-multiplication (see docstring); the
+    # final two run classic with a fresh W to pin the converged floor.
+    r = G.shape[0]
+    # MPBQR_NO_FUSE_XW=1 forces the classic 3-dot iteration everywhere —
+    # the A/B control for timing/parity experiments (read at trace time).
+    n_fused = (
+        0 if os.environ.get("MPBQR_NO_FUSE_XW") == "1"
+        else max(0, iters - 2)
+    )
+    S = jnp.concatenate([X, W], axis=0) if n_fused > 0 else None
     E = eye
+    dn = (((0,), (0,)), ((), ()))
+    bf = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    bf_ta = lambda a, b: jax.lax.dot_general(
+        a, b, dn, preferred_element_type=jnp.float32)
     for it in range(iters):
         om = 1.5 if it < n_om else 1.0
         cheap = it < cheap_iters
         mid = not cheap and it < mid_iters
-        if cheap:
+        if it == n_fused and n_fused > 0:
+            X = S[:r]                       # hand off to the classic tail
+        if it < n_fused:
+            if cheap:
+                M = bf_ta(S[:r].astype(jnp.bfloat16),
+                          S[r:].astype(jnp.bfloat16))
+                E = eye - M
+                C = (jnp.where(cols > rows, E, 0.0)
+                     + jnp.where(rows == cols, E, 0.0) * 0.5)
+                S = S + om * _dot_bf16(S, C)
+            elif mid:
+                Sh, Sl = _split_bf16(S)
+                M = (bf_ta(Sh[:r], Sh[r:]) + bf_ta(Sh[:r], Sl[r:])
+                     + bf_ta(Sl[:r], Sh[r:]))
+                E = eye - M
+                C = (jnp.where(cols > rows, E, 0.0)
+                     + jnp.where(rows == cols, E, 0.0) * 0.5)
+                Ch, Cl = _split_bf16(C)
+                S = S + om * (bf(Sh, Ch) + bf(Sh, Cl) + bf(Sl, Ch))
+            else:
+                M = _dot_ta(S[:r], S[r:])
+                E = eye - M
+                C = (jnp.where(cols > rows, E, 0.0)
+                     + jnp.where(rows == cols, E, 0.0) * 0.5)
+                S = S + om * _dot(S, C)
+        elif cheap:
             W = _dot_bf16(G, X)
             M = jax.lax.dot_general(
                 X.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
@@ -170,11 +229,6 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
                  + jnp.where(rows == cols, E, 0.0) * 0.5)
             X = X + om * _dot_bf16(X, C)
         elif mid:
-            dn = (((0,), (0,)), ((), ()))
-            bf = lambda a, b: jnp.dot(a, b,
-                                      preferred_element_type=jnp.float32)
-            bf_ta = lambda a, b: jax.lax.dot_general(
-                a, b, dn, preferred_element_type=jnp.float32)
             Xh, Xl = _split_bf16(X)
             W = bf(Gh, Xh) + bf(Gh, Xl) + bf(Gl, Xh)
             Wh, Wl = _split_bf16(W)

@@ -89,6 +89,34 @@ def test_ns_chain_shift_mode():
     )
 
 
+@pytest.mark.parametrize("iters", [1, 2, 3, 4, 8])
+def test_ns_chain_fused_xw_handoff(iters, monkeypatch):
+    # Round-9 fused X/W recurrence: all but the final two iterations carry
+    # W = G X by the stacked right-multiplication (one (2r, r) dot instead
+    # of two r x r dots); the final two run classic with a fresh W.  This
+    # sweeps the fused->classic handoff boundary (iters <= 2 = no fusion
+    # at all; iters = 3 = exactly one fused step) and checks the chain
+    # lands on the SAME converged factor as the classic control
+    # (MPBQR_NO_FUSE_XW=1) to fp32-roundoff class — the fixed point is
+    # unique, so any recurrence-drift bug shows up as a floor regression.
+    r = 64
+    rng = np.random.default_rng(100 + iters)
+    P = rng.standard_normal((8 * r, r)).astype(np.float32)
+    G = jnp.asarray(P.T @ P)
+    X, t, resid = ns_chain(G, iters=iters, interpret=True)
+    monkeypatch.setenv("MPBQR_NO_FUSE_XW", "1")
+    # Distinct static arg -> distinct trace (env is read at trace time,
+    # so reuse of the cached fused program must be avoided): clear caches.
+    ns_chain._clear_cache()
+    Xc, tc, residc = ns_chain(G, iters=iters, interpret=True)
+    monkeypatch.delenv("MPBQR_NO_FUSE_XW")
+    ns_chain._clear_cache()
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xc),
+                               rtol=2e-5, atol=2e-6)
+    if iters >= 8:
+        assert float(resid) < 1e-4 and float(residc) < 1e-4
+
+
 def test_ns_chain_refine_mode():
     # Identity-seeded refinement on a Gram near I (pass-2/3 use).
     rng = np.random.default_rng(6)
