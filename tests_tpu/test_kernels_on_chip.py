@@ -31,6 +31,28 @@ def test_ns_chain_on_chip():
     )
 
 
+def test_ns_chain_fused_xw_parity_on_chip(monkeypatch):
+    """Round-9 fused X/W recurrence vs the classic 3-dot chain ON CHIP:
+    the stacked (2r, r) dot lowers through Mosaic differently from two
+    r x r dots (tile shapes, relayouts), so compiled parity is the test
+    interpret mode cannot provide.  The fixed point is unique — any
+    compiled-lowering drift in the recurrence shows as a floor gap."""
+    from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+    rng = np.random.default_rng(13)
+    P = rng.standard_normal((2048, 128)).astype(np.float32)
+    G = jnp.asarray(P.T @ P)
+    X, t, resid = ns_chain(G, iters=8, chain_mid=True)
+    monkeypatch.setenv("MPBQR_NO_FUSE_XW", "1")
+    ns_chain._clear_cache()   # env is read at trace time
+    Xc, tc, residc = ns_chain(G, iters=8, chain_mid=True)
+    monkeypatch.delenv("MPBQR_NO_FUSE_XW")
+    ns_chain._clear_cache()
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xc),
+                               rtol=2e-5, atol=2e-6)
+    assert float(resid) < 1e-4 and float(residc) < 1e-4
+
+
 def test_ninv_chain_on_chip():
     from mixedprecisionblockqr_tpu.ops.cholqr import newton_inv
     from mixedprecisionblockqr_tpu.ops.pallas.ns import ninv_chain
