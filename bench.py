@@ -20,9 +20,24 @@ driver in experiments/r5_faceoff.jsonl — public within noise of internal).
 """
 
 import json
+import os
 import sys
 
 import jax
+
+# Persistent compilation cache: first TPU compiles go through a remote relay
+# (10s-300s per program, occasionally 20+ min under contention — one round-9
+# cold run was killed by exactly that).  The cache is keyed on HLO + backend
+# config, verified to hit across processes on the tunneled backend (second
+# fresh-process first-call 0.46s vs 10.46s), so a warmed cache makes every
+# later cold `python bench.py` immune to relay weather.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 import numpy as np
 
