@@ -10,6 +10,12 @@ MPBQR_NO_OVERLAP_PROJ=1 restores the classic order at trace time, so the
 A/B runs as alternating SUBPROCESSES (child mode: ``one <label>``) —
 interleaved on the same chip session per the CLAUDE.md bimodality guard.
 Quality is asserted in every child.
+
+HISTORICAL (round-9 negative result): the overlap branch measured a
+REGRESSION and was reverted from ops/pallas/ns.py before commit — it was
+never in a committed tree (the result is recorded in BENCH_NOTES round 9
+and r9_overlap_proj.jsonl).  The guard below makes a rerun at HEAD fail
+loudly instead of silently timing identical code in both arms.
 """
 
 import json
@@ -18,6 +24,18 @@ import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+import pathlib
+
+_NS_SRC = pathlib.Path(
+    "/root/repo/mixedprecisionblockqr_tpu/ops/pallas/ns.py"
+).read_text()
+assert "MPBQR_NO_OVERLAP_PROJ" in _NS_SRC, (
+    "ops/pallas/ns.py no longer consumes MPBQR_NO_OVERLAP_PROJ — the "
+    "overlap-projection variant was reverted (round-9 negative result); "
+    "re-apply the variant branch before rerunning this A/B, otherwise "
+    "both arms measure identical code."
+)
 
 M = N = 2048
 OUT = "/root/repo/experiments/r9_overlap_proj.jsonl"

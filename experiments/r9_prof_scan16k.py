@@ -7,12 +7,28 @@ kernels?) or the narrowed GEMMs run proportionally slower.
 Captures jax.profiler traces for bucketed vs MPBQR_NO_SCAN_BUCKETS=1
 under experiments/prof/scan16k_{bucketed,full}/ (2 timed calls each).
 Parse with experiments/trace_summary.py (note: its us/step divides by 4).
+
+HISTORICAL (round-9): the bucketed variant was reverted at d2e164c; at
+HEAD the knob is not consumed and both traces would profile identical
+code.  The guard below fails loudly in that case (the 'full' arm alone
+is still a valid profile of the shipping scan tier).
 """
 
 import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+import pathlib
+
+_DRIVER_SRC = pathlib.Path(
+    "/root/repo/mixedprecisionblockqr_tpu/ops/blockqr.py"
+).read_text()
+assert "MPBQR_NO_SCAN_BUCKETS" in _DRIVER_SRC, (
+    "ops/blockqr.py no longer consumes MPBQR_NO_SCAN_BUCKETS — the "
+    "width-bucketed scan variant was reverted at d2e164c; re-apply it "
+    "before rerunning this profile A/B."
+)
 
 import numpy as np
 import jax

@@ -9,6 +9,13 @@ public auto path (block_qr, POLICY_MIXED_FAST, check='defer') with the
 knob on vs MPBQR_NO_SCAN_BUCKETS=1, INTERLEAVED in one process (the chip
 is bimodal under tunnel contention — CLAUDE.md), and appends JSONL pairs
 to r9_scan_buckets.jsonl.
+
+HISTORICAL (round-9 negative result): bucketing measured dead even twice
+and the variant was REVERTED at commit d2e164c ("Width-bucketed scan
+projections: measured dead even at 16384^2, reverted") — HEAD's driver
+does not consume MPBQR_NO_SCAN_BUCKETS.  The guard below makes a rerun
+fail loudly instead of timing identical code in both arms; check out the
+working-tree variant described in BENCH_NOTES round 9 to reproduce.
 """
 
 import json
@@ -16,6 +23,17 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+import pathlib
+
+_DRIVER_SRC = pathlib.Path(
+    "/root/repo/mixedprecisionblockqr_tpu/ops/blockqr.py"
+).read_text()
+assert "MPBQR_NO_SCAN_BUCKETS" in _DRIVER_SRC, (
+    "ops/blockqr.py no longer consumes MPBQR_NO_SCAN_BUCKETS — the "
+    "width-bucketed scan variant was reverted at d2e164c (measured dead "
+    "even); re-apply it before rerunning this A/B."
+)
 
 import numpy as np
 import jax

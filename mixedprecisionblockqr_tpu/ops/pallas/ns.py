@@ -20,8 +20,11 @@ the host (``dev_mixed_precision_block_qr``'s per-panel CPU stall,
 ``Cuda/qr.cu:1049-1226``) taken one level further: panel -> Gram -> one
 fused device op.
 
-Semantics match ``ops/polar.py::tri_inv_chol`` exactly (same update, same
-seed, same guard) — oracle-tested against it in interpret mode.
+Semantics match ``ops/polar.py::tri_inv_chol`` (same update, same seed,
+same guard) — exactly with ``fuse_xw=False``; with the default fused X/W
+recurrence the match is fp32-roundoff class (the final two iterations
+always run the classic form, and the handoff parity test asserts rtol
+2e-5).  Oracle-tested against it in interpret mode.
 """
 
 from __future__ import annotations
@@ -97,8 +100,17 @@ def _split_bf16(a):
 # (an earlier one was dead code drifting from the real implementation).
 
 
+def _fuse_xw_default() -> bool:
+    # MPBQR_NO_FUSE_XW=1 forces the classic 3-dot iteration everywhere —
+    # the A/B control for timing/parity experiments.  Resolved per CALL in
+    # the public wrappers (ns_chain / panel_qr_fused / bgs_group_fused) so
+    # the resolved bool is a static jit argument — part of the cache key —
+    # and an in-process flip takes effect without clearing jit caches.
+    return os.environ.get("MPBQR_NO_FUSE_XW") != "1"
+
+
 def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
-            cheap_iters=0, mid_iters=0, omega=True):
+            cheap_iters=0, mid_iters=0, omega=True, fuse_xw=True):
     """The triangular-NS chain on an SPD G (exact ``tri_inv_chol``
     semantics).  Returns (X, E) with E the last iteration's correction —
     one step BEHIND the final X (free), or, with ``final_exact``, the true
@@ -176,12 +188,9 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
     # W = G X by the stacked right-multiplication (see docstring); the
     # final two run classic with a fresh W to pin the converged floor.
     r = G.shape[0]
-    # MPBQR_NO_FUSE_XW=1 forces the classic 3-dot iteration everywhere —
-    # the A/B control for timing/parity experiments (read at trace time).
-    n_fused = (
-        0 if os.environ.get("MPBQR_NO_FUSE_XW") == "1"
-        else max(0, iters - 2)
-    )
+    # fuse_xw=False forces the classic 3-dot iteration everywhere (the A/B
+    # control, threaded as a static jit arg from the public wrappers).
+    n_fused = max(0, iters - 2) if fuse_xw else 0
     S = jnp.concatenate([X, W], axis=0) if n_fused > 0 else None
     E = eye
     dn = (((0,), (0,)), ((), ()))
@@ -251,7 +260,8 @@ def _tri_ns(G, iters, rows, cols, eye, refine=False, final_exact=False,
 
 
 def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
-               shift: float, refine: bool, chain_mid: bool, omega: bool):
+               shift: float, refine: bool, chain_mid: bool, omega: bool,
+               fuse_xw: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -268,17 +278,13 @@ def _ns_kernel(g_ref, x_ref, t_ref, resid_ref, *, r: int, iters: int,
                    final_exact=refine,
                    mid_iters=max(0, iters - 2)
                    if chain_mid and not refine else 0,
-                   omega=omega)
+                   omega=omega, fuse_xw=fuse_xw)
     x_ref[:] = X
     # X^{-1} = X^T G at convergence — R recovered with no solve.
     t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
     resid_ref[0, 0] = jnp.max(jnp.abs(E))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("iters", "shift", "refine", "chain_mid",
-                              "omega", "interpret")
-)
 def ns_chain(
     G: jax.Array,
     iters: int = 10,
@@ -286,6 +292,7 @@ def ns_chain(
     refine: bool = False,
     chain_mid: bool = False,
     omega: bool = True,
+    fuse_xw: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused triangular-NS inverse Cholesky of an SPD Gram ``G`` (r x r).
@@ -296,12 +303,34 @@ def ns_chain(
     from the LAST iteration's correction (one step conservative, free).
 
     ``refine=True`` runs the no-scaling identity-seeded variant for Grams
-    already near I (``_tri_refine`` parity).
+    already near I (``_tri_refine`` parity).  ``fuse_xw=False`` forces the
+    classic 3-dot NS iteration (A/B control; default from
+    MPBQR_NO_FUSE_XW, resolved per call — see ``_fuse_xw_default``).
     """
+    if fuse_xw is None:
+        fuse_xw = _fuse_xw_default()
+    return _ns_chain_jit(G, iters, shift, refine, chain_mid, omega,
+                         fuse_xw, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "shift", "refine", "chain_mid",
+                              "omega", "fuse_xw", "interpret")
+)
+def _ns_chain_jit(
+    G: jax.Array,
+    iters: int,
+    shift: float,
+    refine: bool,
+    chain_mid: bool,
+    omega: bool,
+    fuse_xw: bool,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     r = G.shape[0]
     kernel = functools.partial(
         _ns_kernel, r=r, iters=iters, shift=shift, refine=refine,
-        chain_mid=chain_mid, omega=omega,
+        chain_mid=chain_mid, omega=omega, fuse_xw=fuse_xw,
     )
     X, t, resid = pl.pallas_call(
         kernel,
@@ -370,7 +399,7 @@ def ninv_chain(
 
 def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
                      iters: int, gram_hi: bool, robust: bool,
-                     chain_mid: bool):
+                     chain_mid: bool, fuse_xw: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -398,42 +427,40 @@ def _panel_qr_kernel(p_ref, q_ref, t_ref, resid_ref, *, m: int, r: int,
         # fresh Grams of the explicit products, absorbing the shift bias.
         Gs = G + (1e-3 * _norm2_est(G)) * eye
         X1, _ = _tri_ns(Gs, 14, rows, cols, eye, mid_iters=mid(14),
-                        omega=False)
+                        omega=False, fuse_xw=fuse_xw)
         t1 = _dot_ta(X1, Gs)
         Q1 = jnp.dot(P, X1, preferred_element_type=jnp.float32,
                      precision=_HI)
         M1 = gram(Q1)
         X2, _ = _tri_ns(M1, 12, rows, cols, eye, mid_iters=mid(12),
-                        omega=False)
+                        omega=False, fuse_xw=fuse_xw)
         t2 = _dot_ta(X2, M1)
         Q2 = jnp.dot(Q1, X2, preferred_element_type=jnp.float32,
                      precision=_HI)
         M2 = gram(Q2)
         X3, E = _tri_ns(M2, 4, rows, cols, eye, refine=True,
-                        final_exact=True)
+                        final_exact=True, fuse_xw=fuse_xw)
         t3 = _dot_ta(X3, M2)
         q_ref[:] = jnp.dot(Q2, X3, preferred_element_type=jnp.float32,
                            precision=_HI)
         t_ref[:] = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
         resid_ref[0, 0] = jnp.max(jnp.abs(E))
     else:
-        X, E = _tri_ns(G, iters, rows, cols, eye, mid_iters=mid(iters))
+        X, E = _tri_ns(G, iters, rows, cols, eye, mid_iters=mid(iters),
+                       fuse_xw=fuse_xw)
         q_ref[:] = jnp.dot(P, X, preferred_element_type=jnp.float32,
                            precision=gprec)
         t_ref[:] = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
         resid_ref[0, 0] = jnp.max(jnp.abs(E))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("iters", "gram_hi", "robust", "chain_mid",
-                              "interpret")
-)
 def panel_qr_fused(
     P: jax.Array,
     iters: int = 10,
     gram_hi: bool = True,
     robust: bool = False,
     chain_mid: bool = False,
+    fuse_xw: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The ENTIRE panel factorization as one kernel: Gram, NS chain(s),
@@ -447,10 +474,29 @@ def panel_qr_fused(
     dot precision; HIGHEST is strictly tighter and ~1us at r=128).
     Returns (Q (m,r), t (r,r), resid).
     """
+    if fuse_xw is None:
+        fuse_xw = _fuse_xw_default()
+    return _panel_qr_fused_jit(P, iters, gram_hi, robust, chain_mid,
+                               fuse_xw, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "gram_hi", "robust", "chain_mid",
+                              "fuse_xw", "interpret")
+)
+def _panel_qr_fused_jit(
+    P: jax.Array,
+    iters: int,
+    gram_hi: bool,
+    robust: bool,
+    chain_mid: bool,
+    fuse_xw: bool,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     m, r = P.shape
     kernel = functools.partial(
         _panel_qr_kernel, m=m, r=r, iters=iters, gram_hi=gram_hi,
-        robust=robust, chain_mid=chain_mid,
+        robust=robust, chain_mid=chain_mid, fuse_xw=fuse_xw,
     )
     Q, t, resid = pl.pallas_call(
         kernel,
@@ -485,7 +531,7 @@ def panel_qr_fused(
 
 def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
                   chain_cheap=False, chain_mid=False, mid_final=2,
-                  robust_iters=(14, 12, 4)):
+                  robust_iters=(14, 12, 4), fuse_xw=True):
     """One panel's factorization INSIDE a kernel: returns (Qk, t, resid).
 
     ``bf16_dots``: the tall (m x r) products (Gram, Q = P X) run as
@@ -525,17 +571,17 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
         i1, i2, i3 = robust_iters
         Gs = G + (1e-3 * _norm2_est(G)) * eye
         X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1),
-                        omega=False)
+                        omega=False, fuse_xw=fuse_xw)
         t1 = _dot_ta(X1, Gs)
         Q1 = tall_dot(P, X1)
         M1 = tall_dot_ta(Q1, Q1)
         X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2),
-                        omega=False)
+                        omega=False, fuse_xw=fuse_xw)
         t2 = _dot_ta(X2, M1)
         Q2 = tall_dot(Q1, X2)
         M2 = tall_dot_ta(Q2, Q2)
         X3, E = _tri_ns(M2, i3, rows, cols, eye, refine=True,
-                        final_exact=True)
+                        final_exact=True, fuse_xw=fuse_xw)
         t3 = _dot_ta(X3, M2)
         Qk = tall_dot(Q2, X3)
         t = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
@@ -552,14 +598,14 @@ def _tri_ns_panel(P, iters, rows, cols, eye, robust, bf16_dots,
     # (kept as a negative-result control; it NaN-poisons on chip).
     X, E = _tri_ns(G, iters, rows, cols, eye,
                    cheap_iters=max(0, iters - 2) if chain_cheap else 0,
-                   mid_iters=mid(iters))
+                   mid_iters=mid(iters), fuse_xw=fuse_xw)
     Qk = tall_dot(P, X)
     t = jnp.where(cols >= rows, _dot_ta(X, G), 0.0)
     return Qk, t, jnp.max(jnp.abs(E))
 
 
 def _robust_spill(q_ref, c0, r, rows, cols, eye, bf16_dots, chain_mid,
-                  mid_final, robust_iters):
+                  mid_final, robust_iters, fuse_xw=True):
     """The shifted three-pass chain with STORE-BACK: each pass's tall
     product (Q1, Q2, Qk) overwrites the panel's own slot in the aliased
     group buffer instead of living as a fresh m x r VMEM temporary.  Same
@@ -593,17 +639,20 @@ def _robust_spill(q_ref, c0, r, rows, cols, eye, bf16_dots, chain_mid,
     P = q_ref[:, sl]
     G = tall_dot_ta(P, P)
     Gs = G + (1e-3 * _norm2_est(G)) * eye
-    X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1), omega=False)
+    X1, _ = _tri_ns(Gs, i1, rows, cols, eye, mid_iters=mid(i1), omega=False,
+                    fuse_xw=fuse_xw)
     t1 = _dot_ta(X1, Gs)
     q_ref[:, sl] = tall_dot(P, X1)          # Q1 overwrites P
     Q1 = q_ref[:, sl]
     M1 = tall_dot_ta(Q1, Q1)
-    X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2), omega=False)
+    X2, _ = _tri_ns(M1, i2, rows, cols, eye, mid_iters=mid(i2), omega=False,
+                    fuse_xw=fuse_xw)
     t2 = _dot_ta(X2, M1)
     q_ref[:, sl] = tall_dot(Q1, X2)         # Q2 overwrites Q1
     Q2 = q_ref[:, sl]
     M2 = tall_dot_ta(Q2, Q2)
-    X3, E = _tri_ns(M2, i3, rows, cols, eye, refine=True, final_exact=True)
+    X3, E = _tri_ns(M2, i3, rows, cols, eye, refine=True, final_exact=True,
+                    fuse_xw=fuse_xw)
     t3 = _dot_ta(X3, M2)
     q_ref[:, sl] = tall_dot(Q2, X3)         # final Qk in place
     t = jnp.where(cols >= rows, _dot(t3, _dot(t2, t1)), 0.0)
@@ -614,7 +663,7 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
                       g: int, iters: tuple, robust: tuple, bf16_dots: bool,
                       bf16_gram: bool, chain_cheap: bool, chain_mid: bool,
                       mid_final: int, robust_iters: tuple,
-                      tail_spill: bool):
+                      tail_spill: bool, fuse_xw: bool):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     eye = (rows == cols).astype(jnp.float32)
@@ -647,7 +696,7 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
         if robust[j] and tail_spill:
             t, resid = _robust_spill(
                 q_ref, c0, r, rows, cols, eye, bf16_gram, chain_mid,
-                mid_final, robust_iters,
+                mid_final, robust_iters, fuse_xw=fuse_xw,
             )
             worst = jnp.maximum(worst, resid * 0.01)
             rg_ref[c0 : c0 + r, c0 : c0 + r] = t
@@ -663,6 +712,7 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
             P, iters[j], rows, cols, eye, robust[j], bf16_gram,
             chain_cheap=chain_cheap, chain_mid=chain_mid,
             mid_final=mid_final, robust_iters=robust_iters,
+            fuse_xw=fuse_xw,
         )
         # Residual convention (ops/blockqr.py::_poison_if_unconverged):
         # robust chains report the EXACT final residual with a looser
@@ -694,12 +744,6 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
     resid_ref[0, 0] = worst
 
 
-@functools.partial(
-    jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
-                              "bf16_gram", "chain_cheap", "chain_mid",
-                              "mid_final", "robust_iters", "tail_spill",
-                              "interpret")
-)
 def bgs_group_fused(
     Pg: jax.Array,
     r: int,
@@ -712,6 +756,7 @@ def bgs_group_fused(
     mid_final: int = 2,
     robust_iters: tuple = (14, 12, 4),
     tail_spill: bool = False,
+    fuse_xw: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One WHOLE BGS group — g sequential panel factorizations plus their
@@ -734,6 +779,36 @@ def bgs_group_fused(
     Returns (Qg (m, g*r), Rg (g*r, g*r) block-upper coefficient block,
     worst non-robust NS residual).
     """
+    if fuse_xw is None:
+        fuse_xw = _fuse_xw_default()
+    return _bgs_group_fused_jit(
+        Pg, r, tuple(iters), tuple(robust), bf16_dots, bf16_gram,
+        chain_cheap, chain_mid, mid_final, tuple(robust_iters), tail_spill,
+        fuse_xw, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
+                              "bf16_gram", "chain_cheap", "chain_mid",
+                              "mid_final", "robust_iters", "tail_spill",
+                              "fuse_xw", "interpret")
+)
+def _bgs_group_fused_jit(
+    Pg: jax.Array,
+    r: int,
+    iters: tuple,
+    robust: tuple,
+    bf16_dots: bool,
+    bf16_gram: Optional[bool],
+    chain_cheap: bool,
+    chain_mid: bool,
+    mid_final: int,
+    robust_iters: tuple,
+    tail_spill: bool,
+    fuse_xw: bool,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     m, w = Pg.shape
     g = w // r
     assert w == g * r and len(iters) == g and len(robust) == g
@@ -749,7 +824,7 @@ def bgs_group_fused(
         robust=tuple(robust), bf16_dots=bf16_dots, bf16_gram=bf16_gram,
         chain_cheap=chain_cheap, chain_mid=chain_mid,
         mid_final=mid_final, robust_iters=tuple(robust_iters),
-        tail_spill=tail_spill,
+        tail_spill=tail_spill, fuse_xw=fuse_xw,
     )
     Qg, Rg, resid = pl.pallas_call(
         kernel,

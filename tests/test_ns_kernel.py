@@ -97,20 +97,17 @@ def test_ns_chain_fused_xw_handoff(iters, monkeypatch):
     # sweeps the fused->classic handoff boundary (iters <= 2 = no fusion
     # at all; iters = 3 = exactly one fused step) and checks the chain
     # lands on the SAME converged factor as the classic control
-    # (MPBQR_NO_FUSE_XW=1) to fp32-roundoff class — the fixed point is
+    # (fuse_xw=False) to fp32-roundoff class — the fixed point is
     # unique, so any recurrence-drift bug shows up as a floor regression.
+    # The ambient env knob must not leak in: pin both arms explicitly
+    # (fuse_xw is a static jit arg, so the two calls are distinct traces).
+    monkeypatch.delenv("MPBQR_NO_FUSE_XW", raising=False)
     r = 64
     rng = np.random.default_rng(100 + iters)
     P = rng.standard_normal((8 * r, r)).astype(np.float32)
     G = jnp.asarray(P.T @ P)
-    X, t, resid = ns_chain(G, iters=iters, interpret=True)
-    monkeypatch.setenv("MPBQR_NO_FUSE_XW", "1")
-    # Distinct static arg -> distinct trace (env is read at trace time,
-    # so reuse of the cached fused program must be avoided): clear caches.
-    ns_chain._clear_cache()
-    Xc, tc, residc = ns_chain(G, iters=iters, interpret=True)
-    monkeypatch.delenv("MPBQR_NO_FUSE_XW")
-    ns_chain._clear_cache()
+    X, t, resid = ns_chain(G, iters=iters, fuse_xw=True, interpret=True)
+    Xc, tc, residc = ns_chain(G, iters=iters, fuse_xw=False, interpret=True)
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xc),
                                rtol=2e-5, atol=2e-6)
     if iters >= 8:

@@ -42,12 +42,11 @@ def test_ns_chain_fused_xw_parity_on_chip(monkeypatch):
     rng = np.random.default_rng(13)
     P = rng.standard_normal((2048, 128)).astype(np.float32)
     G = jnp.asarray(P.T @ P)
-    X, t, resid = ns_chain(G, iters=8, chain_mid=True)
-    monkeypatch.setenv("MPBQR_NO_FUSE_XW", "1")
-    ns_chain._clear_cache()   # env is read at trace time
-    Xc, tc, residc = ns_chain(G, iters=8, chain_mid=True)
-    monkeypatch.delenv("MPBQR_NO_FUSE_XW")
-    ns_chain._clear_cache()
+    # fuse_xw is a static jit arg (distinct traces per arm); pin both arms
+    # so an ambient MPBQR_NO_FUSE_XW cannot make this a vacuous A/A.
+    monkeypatch.delenv("MPBQR_NO_FUSE_XW", raising=False)
+    X, t, resid = ns_chain(G, iters=8, chain_mid=True, fuse_xw=True)
+    Xc, tc, residc = ns_chain(G, iters=8, chain_mid=True, fuse_xw=False)
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xc),
                                rtol=2e-5, atol=2e-6)
     assert float(resid) < 1e-4 and float(residc) < 1e-4
