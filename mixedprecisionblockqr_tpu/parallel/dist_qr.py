@@ -181,6 +181,68 @@ def _panel_reflector_cols(
     return Y_loc, Sinv, R_pan
 
 
+def _tri_chain_dist(G, iters, omega=True, on_tpu=False):
+    """Replicated triangular-NS chain on a psum'd Gram — the per-panel
+    factorization core shared by the 1-D and 2-D distributed BGS drivers
+    (the fused Mosaic kernel on TPU, the XLA composition off it).
+    omega=False on robust passes (pure Newton keeps their calibrated
+    floor; the shift already caps the condition — ops/polar.py::
+    ns_omega_iters)."""
+    if on_tpu:
+        from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+        return ns_chain(G, iters=iters, omega=omega)
+    from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
+
+    X, resid = tri_inv_chol(G, iters=iters, with_resid=True, omega=omega)
+    t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
+    return X, t, resid
+
+
+def _robust_panel_dist(P_loc, psum_gram, r, on_tpu=False):
+    """Shifted three-pass scheme on psum'd Grams (ops/polar.py::
+    tri_cholqr_robust semantics, distributed): 3 Gram collectives.
+    ``psum_gram`` carries the mesh-axis reduction, so the same code
+    serves the 1-D and 2-D drivers."""
+    from mixedprecisionblockqr_tpu.ops.polar import _spectral_guard
+
+    G = psum_gram(P_loc, P_loc)
+    Gs = G + (1e-3 * _spectral_guard(G)) * jnp.eye(r, dtype=jnp.float32)
+    if on_tpu:
+        from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+        X1, _, _ = ns_chain(Gs, iters=14, omega=False)
+        t1 = jnp.matmul(X1.T, Gs, precision=_HI)  # exact X1^{-1}
+    else:
+        from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
+
+        X1 = tri_inv_chol(Gs, iters=14, omega=False)
+        t1 = jnp.matmul(X1.T, Gs, precision=_HI)
+    Q1 = jnp.matmul(P_loc.astype(jnp.float32), X1, precision=_HI)
+    M1 = psum_gram(Q1, Q1)
+    X2, t2, _ = _tri_chain_dist(M1, 12, omega=False, on_tpu=on_tpu)
+    Q2 = jnp.matmul(Q1, X2, precision=_HI)
+    M2 = psum_gram(Q2, Q2)
+    if on_tpu:
+        from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
+
+        X3, t3, resid = ns_chain(M2, iters=4, refine=True)
+    else:
+        from mixedprecisionblockqr_tpu.ops.polar import _tri_refine
+
+        X3 = _tri_refine(M2, 4)
+        M3 = jnp.matmul(
+            X3.T, jnp.matmul(M2, X3, precision=_HI), precision=_HI
+        )
+        resid = jnp.max(jnp.abs(M3 - jnp.eye(r, dtype=jnp.float32)))
+        t3 = jnp.triu(jnp.matmul(X3.T, M2, precision=_HI))
+    Qk = jnp.matmul(Q2, X3, precision=_HI)
+    t = jnp.triu(jnp.matmul(
+        t3, jnp.matmul(t2, t1, precision=_HI), precision=_HI
+    ))
+    return Qk, t, 0.01 * resid  # robust tier: 1e-2 breakdown threshold
+
+
 def _dist_bgs_local(
     A_loc: jax.Array,
     B_loc: Optional[jax.Array],
@@ -246,60 +308,10 @@ def _dist_bgs_local(
         )
 
     def tri_chain(G, iters, omega=True):
-        # omega=False on robust passes (pure Newton keeps their calibrated
-        # floor; the shift already caps the condition — ops/polar.py::
-        # ns_omega_iters).
-        if on_tpu:
-            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
-
-            return ns_chain(G, iters=iters, omega=omega)
-        from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
-
-        X, resid = tri_inv_chol(G, iters=iters, with_resid=True,
-                                omega=omega)
-        t = jnp.triu(jnp.matmul(X.T, G, precision=_HI))
-        return X, t, resid
+        return _tri_chain_dist(G, iters, omega=omega, on_tpu=on_tpu)
 
     def robust_panel(P_loc):
-        # Shifted three-pass scheme on psum'd Grams (ops/polar.py::
-        # tri_cholqr_robust semantics, distributed): 3 Gram collectives.
-        from mixedprecisionblockqr_tpu.ops.polar import _spectral_guard
-
-        G = psum_gram(P_loc, P_loc)
-        Gs = G + (1e-3 * _spectral_guard(G)) * jnp.eye(r, dtype=jnp.float32)
-        if on_tpu:
-            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
-
-            X1, _, _ = ns_chain(Gs, iters=14, omega=False)
-            t1 = jnp.matmul(X1.T, Gs, precision=_HI)  # exact X1^{-1}
-        else:
-            from mixedprecisionblockqr_tpu.ops.polar import tri_inv_chol
-
-            X1 = tri_inv_chol(Gs, iters=14, omega=False)
-            t1 = jnp.matmul(X1.T, Gs, precision=_HI)
-        Q1 = jnp.matmul(P_loc.astype(jnp.float32), X1, precision=_HI)
-        M1 = psum_gram(Q1, Q1)
-        X2, t2, _ = tri_chain(M1, 12, omega=False)
-        Q2 = jnp.matmul(Q1, X2, precision=_HI)
-        M2 = psum_gram(Q2, Q2)
-        if on_tpu:
-            from mixedprecisionblockqr_tpu.ops.pallas.ns import ns_chain
-
-            X3, t3, resid = ns_chain(M2, iters=4, refine=True)
-        else:
-            from mixedprecisionblockqr_tpu.ops.polar import _tri_refine
-
-            X3 = _tri_refine(M2, 4)
-            M3 = jnp.matmul(
-                X3.T, jnp.matmul(M2, X3, precision=_HI), precision=_HI
-            )
-            resid = jnp.max(jnp.abs(M3 - jnp.eye(r, dtype=jnp.float32)))
-            t3 = jnp.triu(jnp.matmul(X3.T, M2, precision=_HI))
-        Qk = jnp.matmul(Q2, X3, precision=_HI)
-        t = jnp.triu(jnp.matmul(
-            t3, jnp.matmul(t2, t1, precision=_HI), precision=_HI
-        ))
-        return Qk, t, 0.01 * resid  # robust tier: 1e-2 breakdown threshold
+        return _robust_panel_dist(P_loc, psum_gram, r, on_tpu=on_tpu)
 
     from mixedprecisionblockqr_tpu.ops.polar import tri_iters_for_aspect
 
