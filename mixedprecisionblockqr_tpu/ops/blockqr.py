@@ -801,6 +801,35 @@ def _group_kernel_fits(m0: int, r: int, group_panels: int) -> bool:
     ) and m0 * r * group_panels * 4 <= quota_mb * 2**20
 
 
+def _proj_entry_fits(m: int, n: int, r: int, group_panels: int,
+                     q_bytes: int) -> bool:
+    """VMEM gate for the project-on-entry group kernel
+    (``bgs_group_fused_proj``): EVERY group's resident set — the aliased
+    m x gw fp32 buffer, the m x lam_g Qprev block, the lam_g x gw Rprev
+    and gw x gw Rg outputs, plus ~6 m x r chain temporaries (the robust
+    tail's liveness) — must fit the raised 100 MB scoped-VMEM limit with
+    slack for Mosaic's own spills.  All-or-nothing per factorization: the
+    scheme replaces the trailing-carry projection globally, so one
+    oversized group disables it for the whole call."""
+    nb = n // min(r, n)
+    budget = 88 * 2**20
+    i = 0
+    while i < nb:
+        gw = min(group_panels, nb - i) * r
+        lam = i * r
+        est = (
+            m * gw * 4
+            + m * lam * q_bytes
+            + lam * gw * 4
+            + gw * gw * 4
+            + 6 * m * r * 4
+        )
+        if est > budget:
+            return False
+        i += min(group_panels, nb - i)
+    return True
+
+
 def _sync_retry_method(panel_method, loop_mode, policy, mode, m, n):
     """The robust retry target for ``check='sync'`` — or None when the
     primary method already IS the most robust one available for its loop
@@ -924,6 +953,7 @@ def _block_qr_bgs(
     mid_final: int = 2,
     robust_iters: tuple = (14, 12, 4),
     tail_spill: bool = False,
+    proj_entry: Optional[bool] = None,
 ):
     """Right-looking Block Gram-Schmidt QR — the throughput flagship
     (``panel_method='bgs'``).
@@ -967,6 +997,7 @@ def _block_qr_bgs(
     )
     from mixedprecisionblockqr_tpu.ops.pallas.ns import (
         bgs_group_fused,
+        bgs_group_fused_proj,
         ns_chain,
         panel_qr_fused,
         tri_cholqr_robust_fused,
@@ -1104,6 +1135,29 @@ def _block_qr_bgs(
         and jnp.dtype(q_dtype) != jnp.dtype(policy.accum)
         and jnp.dtype(policy.trailing) == jnp.dtype(q_dtype)
     )
+    # Project-on-entry (round-10 attempt at the ~46 us inter-group
+    # projection budget): every group kernel AFTER the first scrubs its
+    # own raw columns against all previous groups' Q inside the kernel
+    # (bgs_group_fused_proj, block-classical GS form) instead of the
+    # driver projecting the trailing carry between groups.  MEASURED
+    # NEGATIVE at the 2048^2 headline — OFF by default.  The interleaved
+    # same-process A/B (experiments/r10_proj_entry.jsonl, 8 pairs over 2
+    # sessions) has the XLA-projection arm faster in 7/8 pairs (99-110 TF
+    # vs 86-100 TF): fusing the m x lam scrub GEMM into the Mosaic
+    # program serializes it with the chain dots that XLA previously
+    # overlapped it with, and the scrub operand (the growing Qprev) now
+    # round-trips VMEM inside every group's kernel instead of streaming
+    # once per group.  Quality is identical in both arms.  Kept as an
+    # explicit opt-in for shapes where the dispatch boundary dominates.
+    if proj_entry is None:
+        proj_entry = False
+    proj_entry = bool(
+        proj_entry
+        and use_group
+        and not reorth
+        and _proj_entry_fits(m, n, r, group_panels,
+                             jnp.dtype(q_dtype).itemsize)
+    )
     # Fast tiers assemble Q by in-place DUS into one preallocated buffer
     # instead of a final jnp.concatenate: XLA lowers the concatenate of g
     # (m, gw) group blocks into g full-size pads plus a combine (~3x the
@@ -1111,7 +1165,10 @@ def _block_qr_bgs(
     # optimized HLO), while static-index `.at[].set` chains onto a zeros
     # buffer update in place.  Reorth tiers keep the qcols list — their
     # per-group scrubs need the concatenated prefix anyway.
-    Qacc = jnp.zeros((m, n), q_dtype) if (want_q and not reorth) else None
+    Qacc = (
+        jnp.zeros((m, n), q_dtype)
+        if ((want_q or proj_entry) and not reorth) else None
+    )
 
     # Post-FACTORIZATION rescrub for the robust tail panels — the shared
     # D9 helper (``_rescrub_panel``; round-5b ladder-floor isolation,
@@ -1175,17 +1232,35 @@ def _block_qr_bgs(
             # 'mid tier' measured 0.099 — WORSE than bgs1's 0.075 — while
             # HIGHEST-in-kernel + HIGH reorth reaches 5.7e-4).
             is_bf16 = jnp.dtype(policy.trailing) == jnp.bfloat16
-            Qg, Rg, resid = bgs_group_fused(
-                Pg, r, iters_t, robust_t,
-                bf16_dots=is_bf16 and not reorth,
-                bf16_gram=is_bf16 and not reorth,
-                chain_cheap=chain_cheap,
-                chain_mid=chain_mid,
-                mid_final=mid_final,
-                robust_iters=tuple(robust_iters),
-                tail_spill=tail_spill,
-                interpret=interp,
-            )
+            if proj_entry and lam_g > 0:
+                # Raw columns in, scrub in-kernel against the assembled
+                # Q prefix (the DUS buffer doubles as the Qprev source —
+                # bf16-resident under compact policies, exactly what the
+                # replaced mm_t consumed).
+                Qg, Rprev, Rg, resid = bgs_group_fused_proj(
+                    Pg, Qacc[:, :lam_g], r, iters_t, robust_t,
+                    bf16_dots=is_bf16,
+                    bf16_gram=is_bf16,
+                    chain_cheap=chain_cheap,
+                    chain_mid=chain_mid,
+                    mid_final=mid_final,
+                    robust_iters=tuple(robust_iters),
+                    tail_spill=tail_spill,
+                    interpret=interp,
+                )
+                R = R.at[:lam_g, lam_g:g_end].set(Rprev)
+            else:
+                Qg, Rg, resid = bgs_group_fused(
+                    Pg, r, iters_t, robust_t,
+                    bf16_dots=is_bf16 and not reorth,
+                    bf16_gram=is_bf16 and not reorth,
+                    chain_cheap=chain_cheap,
+                    chain_mid=chain_mid,
+                    mid_final=mid_final,
+                    robust_iters=tuple(robust_iters),
+                    tail_spill=tail_spill,
+                    interpret=interp,
+                )
             worst_resid = jnp.maximum(worst_resid, resid)
             R = R.at[lam_g:g_end, lam_g:g_end].set(Rg)
             if reorth and any(robust_t):
@@ -1210,7 +1285,9 @@ def _block_qr_bgs(
             if Qacc is not None:
                 Qacc = Qacc.at[:, lam_g:g_end].set(Qg.astype(q_dtype))
             qcols.append(Qg)
-            if g_end < n:
+            # proj_entry: the NEXT group's kernel scrubs its own columns —
+            # no trailing projection here (T stays raw).
+            if g_end < n and not proj_entry:
                 G1 = mm_t(Qg.T, T)
                 T = (T - mm_t(Qg, G1)).astype(T.dtype)
                 R = R.at[lam_g:g_end, g_end:].set(G1)
@@ -1319,7 +1396,9 @@ def _block_qr_bgs(
     # tests/test_blockqr.py::test_bgs_r_exactly_triangular.
     R_full = R_full.astype(policy.accum)
     if Qacc is not None:
-        Q = Qacc
+        # proj_entry builds the DUS buffer even for R-only calls (it IS
+        # the kernels' Qprev source); only return it when asked.
+        Q = Qacc if want_q else None
     else:
         Q = (jnp.concatenate(qcols, axis=1).astype(q_dtype)
              if want_q else None)

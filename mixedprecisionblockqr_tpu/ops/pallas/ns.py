@@ -659,18 +659,16 @@ def _robust_spill(q_ref, c0, r, rows, cols, eye, bf16_dots, chain_mid,
     return t, jnp.max(jnp.abs(E))
 
 
-def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
-                      g: int, iters: tuple, robust: tuple, bf16_dots: bool,
-                      bf16_gram: bool, chain_cheap: bool, chain_mid: bool,
-                      mid_final: int, robust_iters: tuple,
-                      tail_spill: bool, fuse_xw: bool):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
-    eye = (rows == cols).astype(jnp.float32)
-    rg_ref[:] = jnp.zeros_like(rg_ref)
-    # q is input_output_aliased onto pg (same buffer, distinct refs) —
-    # this seed copy is a self-copy there and a real one in interpret mode.
-    q_ref[:] = pg_ref[:]
+def _group_loop(q_ref, rg_ref, rows, cols, eye, *, r: int, g: int,
+                iters: tuple, robust: tuple, bf16_dots: bool,
+                bf16_gram: bool, chain_cheap: bool, chain_mid: bool,
+                mid_final: int, robust_iters: tuple, tail_spill: bool,
+                fuse_xw: bool):
+    """The shared in-kernel BGS group body: g sequential panel
+    factorizations + eager in-group projections over the aliased
+    ``q_ref`` buffer (columns already scrubbed against previous groups).
+    Returns the worst normalized NS residual.  Used by both
+    ``_bgs_group_kernel`` and the project-on-entry variant."""
     worst = jnp.float32(0.0)
 
     def proj_dots(Qk, C):
@@ -741,7 +739,80 @@ def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
             G1, PG = proj_dots(Qk, C)
             q_ref[:, c0 + r :] = C - PG
             rg_ref[c0 : c0 + r, c0 + r :] = G1
-    resid_ref[0, 0] = worst
+    return worst
+
+
+def _bgs_group_kernel(pg_ref, q_ref, rg_ref, resid_ref, *, m: int, r: int,
+                      g: int, iters: tuple, robust: tuple, bf16_dots: bool,
+                      bf16_gram: bool, chain_cheap: bool, chain_mid: bool,
+                      mid_final: int, robust_iters: tuple,
+                      tail_spill: bool, fuse_xw: bool):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    rg_ref[:] = jnp.zeros_like(rg_ref)
+    # q is input_output_aliased onto pg (same buffer, distinct refs) —
+    # this seed copy is a self-copy there and a real one in interpret mode.
+    q_ref[:] = pg_ref[:]
+    resid_ref[0, 0] = _group_loop(
+        q_ref, rg_ref, rows, cols, eye, r=r, g=g, iters=iters,
+        robust=robust, bf16_dots=bf16_dots, bf16_gram=bf16_gram,
+        chain_cheap=chain_cheap, chain_mid=chain_mid, mid_final=mid_final,
+        robust_iters=robust_iters, tail_spill=tail_spill, fuse_xw=fuse_xw,
+    )
+
+
+def _bgs_group_proj_kernel(pg_ref, qp_ref, q_ref, rp_ref, rg_ref, resid_ref,
+                           *, m: int, r: int, g: int, p: int, iters: tuple,
+                           robust: tuple, bf16_dots: bool, bf16_gram: bool,
+                           chain_cheap: bool, chain_mid: bool,
+                           mid_final: int, robust_iters: tuple,
+                           tail_spill: bool, fuse_xw: bool):
+    """Project-on-entry group kernel (round-10 headline lever): scrub this
+    group's RAW columns against ALL previous groups' Q inside the kernel
+    (block-classical Gram-Schmidt form: C = P - Qprev (Qprev^T P)), then
+    run the shared group body on the scrubbed buffer.
+
+    Replaces the driver's inter-group XLA projection GEMM pair — the
+    trailing carry never round-trips HBM between groups and the two
+    dispatch boundaries disappear.  The scrub runs at the same precision
+    as the XLA ``mm_t`` it replaces (single-pass bf16 under bf16-trailing
+    policies, fp32 HIGHEST otherwise); the coefficient block
+    ``Rprev = Qprev^T P`` is written out for the R assembly exactly like
+    the XLA path's G1 rows.  This is the TPU answer to the reference's
+    per-panel trailing update (``Cuda/qr.cu:1098``) taken one level
+    further: group -> scrub -> factorization in one fused program.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    rg_ref[:] = jnp.zeros_like(rg_ref)
+    P = pg_ref[:].astype(jnp.float32)
+    Qp = qp_ref[:]
+    if bf16_dots:
+        C2 = jax.lax.dot_general(
+            Qp.astype(jnp.bfloat16), P.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        PG = jnp.dot(Qp.astype(jnp.bfloat16), C2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    else:
+        Qp32 = Qp.astype(jnp.float32)
+        C2 = jax.lax.dot_general(
+            Qp32, P, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        PG = jnp.dot(Qp32, C2, preferred_element_type=jnp.float32,
+                     precision=_HI)
+    rp_ref[:] = C2
+    q_ref[:] = P - PG
+    resid_ref[0, 0] = _group_loop(
+        q_ref, rg_ref, rows, cols, eye, r=r, g=g, iters=iters,
+        robust=robust, bf16_dots=bf16_dots, bf16_gram=bf16_gram,
+        chain_cheap=chain_cheap, chain_mid=chain_mid, mid_final=mid_final,
+        robust_iters=robust_iters, tail_spill=tail_spill, fuse_xw=fuse_xw,
+    )
 
 
 def bgs_group_fused(
@@ -873,6 +944,110 @@ def _bgs_group_fused_jit(
         interpret=interpret,
     )(Pg.astype(jnp.float32))
     return Qg, Rg, resid[0, 0]
+
+
+def bgs_group_fused_proj(
+    Pg: jax.Array,
+    Qprev: jax.Array,
+    r: int,
+    iters: tuple,
+    robust: tuple,
+    bf16_dots: bool = True,
+    bf16_gram: Optional[bool] = None,
+    chain_cheap: bool = False,
+    chain_mid: bool = False,
+    mid_final: int = 2,
+    robust_iters: tuple = (14, 12, 4),
+    tail_spill: bool = False,
+    fuse_xw: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``bgs_group_fused`` with the inter-group projection fused INTO the
+    kernel (project-on-entry): takes this group's RAW columns ``Pg``
+    (m, g*r) plus the concatenated previous-group Q ``Qprev`` (m, p; any
+    float dtype — bf16 under compact policies, matching the XLA ``mm_t``
+    it replaces), scrubs ``Pg -= Qprev (Qprev^T Pg)`` in VMEM and then
+    runs the standard group body.
+
+    Returns (Qg (m, g*r), Rprev (p, g*r) — the R rows above this group's
+    diagonal block, exactly the XLA path's ``G1`` — Rg (g*r, g*r), worst
+    residual).  VMEM: the driver gates this variant on the total resident
+    estimate (``ops/blockqr.py::_proj_entry_fits``); the kernel raises the
+    Mosaic scoped-VMEM limit unconditionally since Qprev alone usually
+    exceeds the 16 MB default stack.
+    """
+    if fuse_xw is None:
+        fuse_xw = _fuse_xw_default()
+    return _bgs_group_fused_proj_jit(
+        Pg, Qprev, r, tuple(iters), tuple(robust), bf16_dots, bf16_gram,
+        chain_cheap, chain_mid, mid_final, tuple(robust_iters), tail_spill,
+        fuse_xw, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "iters", "robust", "bf16_dots",
+                              "bf16_gram", "chain_cheap", "chain_mid",
+                              "mid_final", "robust_iters", "tail_spill",
+                              "fuse_xw", "interpret")
+)
+def _bgs_group_fused_proj_jit(
+    Pg: jax.Array,
+    Qprev: jax.Array,
+    r: int,
+    iters: tuple,
+    robust: tuple,
+    bf16_dots: bool,
+    bf16_gram: Optional[bool],
+    chain_cheap: bool,
+    chain_mid: bool,
+    mid_final: int,
+    robust_iters: tuple,
+    tail_spill: bool,
+    fuse_xw: bool,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    m, w = Pg.shape
+    mq, p = Qprev.shape
+    g = w // r
+    assert w == g * r and len(iters) == g and len(robust) == g and mq == m
+    if bf16_gram is None:
+        bf16_gram = bf16_dots
+    kernel = functools.partial(
+        _bgs_group_proj_kernel, m=m, r=r, g=g, p=p, iters=tuple(iters),
+        robust=tuple(robust), bf16_dots=bf16_dots, bf16_gram=bf16_gram,
+        chain_cheap=chain_cheap, chain_mid=chain_mid,
+        mid_final=mid_final, robust_iters=tuple(robust_iters),
+        tail_spill=tail_spill, fuse_xw=fuse_xw,
+    )
+    Qg, Rprev, Rg, resid = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, w), jnp.float32),
+            jax.ShapeDtypeStruct((p, w), jnp.float32),
+            jax.ShapeDtypeStruct((w, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={0: 0},
+        # Qprev (m x p) + the aliased group buffer almost always exceed
+        # the 16 MB default stack; the driver's _proj_entry_fits gate
+        # keeps the total resident estimate well under this limit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(Pg.astype(jnp.float32), Qprev)
+    return Qg, Rprev, Rg, resid[0, 0]
 
 
 def tri_cholqr_fused(

@@ -205,6 +205,57 @@ def test_bgs_driver_ns_impl_parity():
         np.testing.assert_allclose(out["xla"][1], out[impl][1], atol=1e-4)
 
 
+def test_bgs_proj_entry_parity():
+    """Project-on-entry group kernel (``bgs_group_fused_proj``): the
+    block-classical-GS form (each group scrubbed in-kernel against all
+    previous Q) must match the right-looking XLA trailing-carry path.
+    The variant measured SLOWER on chip (experiments/r10_proj_entry.jsonl
+    — defaults OFF) but stays available, so it stays correctness-tested."""
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    A = jnp.asarray(a)
+    out = {}
+    for pe in (False, True):
+        R, Q, _ = jax.jit(
+            lambda x, pe=pe: _block_qr_bgs(
+                x, 128, POLICY_FP32, True, None, 4, False,
+                reorth=False, ns_impl="group", proj_entry=pe)
+        )(A)
+        out[pe] = (np.asarray(R), np.asarray(Q))
+    np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-4)
+    np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-4)
+    # R-only calls must still work (the DUS buffer doubles as the
+    # kernels' Qprev source but is not returned).
+    R, Qn, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 128, POLICY_FP32, False, None, 4, False,
+            reorth=False, ns_impl="group", proj_entry=True)
+    )(A)
+    assert Qn is None
+    np.testing.assert_allclose(np.asarray(R), out[True][0], atol=1e-6)
+
+
+def test_bgs_proj_entry_mixed_quality():
+    """Under POLICY_MIXED_FAST the proj-entry scrub runs single-pass bf16
+    (same contract as the XLA mm_t it replaces) — quality must stay in
+    the documented bgs1 band, not degrade."""
+    from mixedprecisionblockqr_tpu.ops import metrics
+    from mixedprecisionblockqr_tpu.ops.policy import POLICY_MIXED_FAST
+
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((512, 512)).astype(np.float32)
+    R, Q, _ = jax.jit(
+        lambda x: _block_qr_bgs(
+            x, 128, POLICY_MIXED_FAST, True, None, 4, False,
+            reorth=False, ns_impl="group", proj_entry=True)
+    )(jnp.asarray(a))
+    rep = metrics.evaluate(
+        a, np.asarray(Q, np.float32), np.asarray(R, np.float32),
+        precision_bits=8,
+    )
+    assert rep.all_ok, str(rep)
+
+
 def test_robust_tail_breakdown_trips_canary():
     """A cond ~1e9 matrix is far beyond the three-pass scheme's fp32 Gram
     domain: the robust tail chains must REPORT failure through the NaN
