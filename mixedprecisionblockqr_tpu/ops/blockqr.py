@@ -137,10 +137,10 @@ def resolve_panel_config(
       * mixed/bf16 policies -> the measured winners (BENCH_NOTES round 4):
         n <= 3072 'bgs1' g8 (op-dispatch-bound regime, group-kernel
         fusion: ~290us / ~100 TFLOP/s at 2048^2 with POLICY_MIXED_FAST);
-        ~4096 'cholqr1' (GEMM-dominated: 150 TF); <= 12288 'bgs1' g4
-        (HBM-bound regime — POLICY_BF16_FAST reaches 155.8 TF at 8192);
+        3072 < n <= 12288 'bgs1' g8 per-panel chains (r10_bandwide: g8
+        sweeps the band; POLICY_BF16_FAST reaches 192-195 TF at 8192);
         larger -> GROUPED scan-mode 'bgs1' g4 (one Qbuf pass per group:
-        134.5 ms / 109 TF at 16384^2).
+        95-97 ms / 150-157 TF at 16384^2).
     Off TPU auto always resolves to 'householder' (CPU runs are the oracle
     surface; reference semantics).
     """
@@ -182,17 +182,22 @@ def resolve_panel_config(
             elif max(m, n) > 12288:
                 loop_mode, group_panels = "scan", 4
             else:
-                group_panels = 4
+                group_panels = 8
         else:
-            # Round-5: bgs1 g4 took the 3072-5120 band from cholqr1 —
-            # 4096^2 face-off (experiments/r5_band4096_pivoted.jsonl):
-            # 1.82-1.83 ms / 125 TF vs 2.33 ms / 98 TF, backward 2.3e-3
-            # vs 8.8e-3 (cholqr1 keeps the tighter orth, 9.2e-3 vs 7e-2 —
-            # reachable via panel_method='cholqr1' or quality='balanced').
+            # Round-5: bgs1 took the 3072-5120 band from cholqr1 (4096^2
+            # face-off, experiments/r5_band4096_pivoted.jsonl).  Round-10
+            # (r10_bandwide.jsonl, interleaved): g8 sweeps the whole
+            # 3072-12288 band — 6144 145-152 vs g4's 127; 8192 mixed
+            # 179-182 vs 141; 8192 bf16 192-195 (97-99% of MXU peak) vs
+            # 182-185.  At 4096 the g8 buffer also exceeds the group-
+            # kernel VMEM quota, so the band runs the per-panel chain
+            # kernels — which is itself the fix for the 4096 cliff (the
+            # fused group kernel serializes its in-group projections:
+            # 113-114 TF fused-g4 vs 142-150 unfused, r10_band4096).
             if max(m, n) <= 3072:
                 panel_method, group_panels = "bgs1", 8
             elif max(m, n) <= 12288:
-                panel_method, group_panels = "bgs1", 4
+                panel_method, group_panels = "bgs1", 8
             else:
                 panel_method, loop_mode = "bgs1", "scan"
     else:

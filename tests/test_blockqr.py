@@ -487,10 +487,11 @@ def test_resolve_auto_dispatch_table():
 
     # The measured per-size winners (BENCH_NOTES round-3 perf map).
     assert auto(2048, 2048, POLICY_MIXED) == ("bgs1", "unroll", 8)
-    # Round-5: bgs1 g4 took the 3072-5120 band from cholqr1 (4096^2
-    # face-off: 125 vs 98 TF — experiments/r5_band4096_pivoted.jsonl).
-    assert auto(4096, 4096, POLICY_MIXED) == ("bgs1", "unroll", 4)
-    assert auto(8192, 8192, POLICY_MIXED_FAST) == ("bgs1", "unroll", 4)
+    # Round-10: g8 sweeps the 3072-12288 band (r10_bandwide.jsonl); the
+    # g8 buffer also pushes 4096 past the group-kernel VMEM quota, which
+    # fixes the fused-kernel serialization cliff (113 -> 142-150 TF).
+    assert auto(4096, 4096, POLICY_MIXED) == ("bgs1", "unroll", 8)
+    assert auto(8192, 8192, POLICY_MIXED_FAST) == ("bgs1", "unroll", 8)
     assert auto(16384, 16384, POLICY_MIXED_FAST) == ("bgs1", "scan", 4)
     # fp32 -> the reorthogonalized BGS tier (fp32-roundoff quality).
     assert auto(2048, 2048, POLICY_FP32)[0] == "bgs"
@@ -532,7 +533,7 @@ def test_quality_ladder_mapping():
     assert auto(2048, 2048, POLICY_MIXED, "balanced") == ("bgs2", "unroll", 8)
     assert auto(2048, 2048, POLICY_MIXED, "high") == ("bgs", "unroll", 8)
     assert auto(2048, 2048, POLICY_MIXED, "robust")[0] == "householder"
-    assert auto(8192, 8192, POLICY_MIXED, "balanced") == ("bgs2", "unroll", 4)
+    assert auto(8192, 8192, POLICY_MIXED, "balanced") == ("bgs2", "unroll", 8)
     assert auto(16384, 16384, POLICY_MIXED, "high") == ("bgs", "scan", 4)
     # fp32 default = the 'high' rung; quality trades down explicitly.
     assert auto(2048, 2048, POLICY_FP32, None)[0] == "bgs"
